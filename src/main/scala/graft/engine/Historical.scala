@@ -1,0 +1,81 @@
+package graft.engine
+
+import graft.FeatureView
+import graft.pit.PointInTimeJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** get_historical_features orchestration (reference: sdk/python/feast/
+  * feature_store.py:1942-2142 + the rendered multi-view template
+  * spark.py:1709-1887): sequentially enrich the entity frame with each
+  * view's point-in-time features, preserving entity rows/columns and
+  * output order = entity cols, then features per view (offline_utils.py:
+  * 210-234).
+  */
+object Historical {
+
+  /** @param fullFeatureNames prefix features `view__feature`
+    *        (utils.py:562 collision rule; dask.py:1062-1070)
+    * @param transform optional ODFV-style post-retrieval row-level transform
+    *        (on_demand_feature_view.py:1023 applied post-join)
+    */
+  def getHistoricalFeatures(
+      entityDf: DataFrame,
+      views: Seq[FeatureView],
+      entityTsCol: String = "event_ts",
+      fullFeatureNames: Boolean = false,
+      filterByCreatedTs: Boolean = false,
+      transform: Option[DataFrame => DataFrame] = None
+  ): DataFrame = {
+    require(views.nonEmpty, "at least one feature view required")
+    // Collision check mirroring utils.py:562: duplicate feature names across
+    // views are an error unless fullFeatureNames is on.
+    if (!fullFeatureNames) {
+      val names = views.flatMap(_.resolvedFeatures)
+      val dups = names.diff(names.distinct).distinct
+      require(dups.isEmpty,
+        s"duplicate feature names across views: ${dups.mkString(",")}; use fullFeatureNames")
+    }
+    val out = views.foldLeft(entityDf) { (acc, v) =>
+      PointInTimeJoin.enrich(acc, v, entityTsCol, fullFeatureNames, filterByCreatedTs)
+    }
+    transform.map(_(out)).getOrElse(out)
+  }
+
+  /** Entityless ("global") view support: the reference joins such views via
+    * a DUMMY_ENTITY literal (feature_view.py:95-108; spark.py:150). We add
+    * the dummy key to both sides and delegate to the normal path.
+    */
+  def enrichEntityless(
+      entityDf: DataFrame,
+      view: FeatureView,
+      entityTsCol: String = "event_ts",
+      fullFeatureNames: Boolean = false
+  ): DataFrame = {
+    val dummy = "__dummy_id"
+    val left = entityDf.withColumn(dummy, lit(""))
+    val src = view.source.withColumn(dummy, lit(""))
+    val v = view.copy(source = src, joinKeys = Seq(dummy))
+    PointInTimeJoin.enrich(left, v, entityTsCol, fullFeatureNames).drop(dummy)
+  }
+
+  /** Non-entity retrieval mode (reference spark.py:1336-1387 W5): discover
+    * the entity universe as UNION DISTINCT of each view's keys, stamp every
+    * discovered key with `asOf`, then run the normal retrieval.
+    */
+  def nonEntityRetrieval(
+      views: Seq[FeatureView],
+      asOf: java.sql.Timestamp,
+      entityTsCol: String = "event_ts",
+      fullFeatureNames: Boolean = false
+  ): DataFrame = {
+    val keyCols = views.head.joinKeys
+    val universe = views
+      .map(v => v.source.select(v.joinKeys.map(k => col(k).cast("string")): _*)
+        .toDF(keyCols: _*))
+      .reduce(_ unionByName _)
+      .distinct()
+      .withColumn(entityTsCol, lit(asOf))
+    getHistoricalFeatures(universe, views, entityTsCol, fullFeatureNames)
+  }
+}

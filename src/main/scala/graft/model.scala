@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+/** Typed core row of the engine per BASELINE.json:input_hint — an agent /
+  * conversation transcript turn. Mirrors the reference's source record for a
+  * feature view over a batch source (reference: sdk/python/feast/
+  * feature_view.py:111, infra/offline_stores/contrib/spark_offline_store/
+  * spark_source.py:31).
+  */
+case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String, // null for non-tool turns
+    ts: Timestamp
+)
+
+/** Left side of the point-in-time join: one row per requested
+  * (entity key, event timestamp). Reference: the "entity dataframe" of
+  * get_historical_features (sdk/python/feast/feature_store.py:1942).
+  */
+case class EntityRow(conv_id: String, event_ts: Timestamp)
+
+/** FeatureView analog (reference: sdk/python/feast/feature_view.py:111,
+  * 224-225, 336-337): a named group of features over one batch source.
+  *
+  * @param joinKeys      entity join key column names (entity.py:48)
+  * @param tsCol         event-timestamp column of the source
+  * @param createdTsCol  optional created-timestamp column used as dedup
+  *                      tie-breaker and anti-leak cutoff
+  * @param ttlSeconds    lower-bound window: feature rows older than
+  *                      event_ts - ttl are invisible. 0 = no lower bound
+  *                      (offline_utils.py:144-147, 170-173).
+  * @param features      feature column names after field mapping; empty =
+  *                      every column that is not a key/timestamp
+  * @param fieldMapping  source-column -> feature-name renames
+  *                      (data_source.py:179 field_mapping)
+  * @param tieBreakCols  deterministic extra ORDER BY ... DESC tiebreakers
+  *                      applied after (ts, created_ts). The reference's
+  *                      row_number pick is nondeterministic on full ties
+  *                      (spark.py:1837-1840); we pin it down for golden
+  *                      comparability.
+  */
+case class FeatureView(
+    name: String,
+    source: DataFrame,
+    joinKeys: Seq[String],
+    tsCol: String,
+    createdTsCol: Option[String] = None,
+    ttlSeconds: Long = 0L,
+    features: Seq[String] = Nil,
+    fieldMapping: Map[String, String] = Map.empty,
+    tieBreakCols: Seq[String] = Nil
+) {
+  /** Resolved feature columns (post field-mapping source). */
+  def resolvedFeatures: Seq[String] =
+    if (features.nonEmpty) features
+    else {
+      val excluded = (joinKeys :+ tsCol) ++ createdTsCol.toSeq
+      source.columns.toSeq
+        .map(c => fieldMapping.getOrElse(c, c))
+        .filterNot(excluded.contains)
+    }
+}
+
+/** Aggregation spec (reference: sdk/python/feast/aggregation/__init__.py:
+  * 15-48): (column, function, optional time window, optional slide).
+  * Supported functions: sum, max, min, count, avg/mean, count_distinct,
+  * std, var (reference list at aggregation/__init__.py:21).
+  */
+case class Aggregation(
+    column: String,
+    function: String,
+    timeWindowSec: Option[Long] = None,
+    slideSec: Option[Long] = None,
+    alias: Option[String] = None
+) {
+  /** Reference alias scheme fn_col[_Ns] (aggregation/__init__.py:106-118). */
+  def outputName: String = alias.getOrElse {
+    val base = s"${function}_$column"
+    timeWindowSec.map(w => s"${base}_${w}s").getOrElse(base)
+  }
+}
