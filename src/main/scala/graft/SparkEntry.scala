@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Historical
-import graft.pit.PointInTimeJoin
+import graft.agg.{Aggregations, Tiling}
+import graft.engine.{Historical, Materialize}
+import graft.feat.TranscriptFeatures
+import graft.stats.Profile
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,9 +40,15 @@ object SparkEntry {
       Seq("conv_id"), "ts", Some("created_ts"), 0L,
       features = Seq("score"), tieBreakCols = Seq("event_id"))
 
+  /** Transcript with text_len precomputed, for window/agg queries. */
+  private def transcriptLen(s: SparkSession, dir: String): DataFrame =
+    Transcripts.fromEvents(s, dir)
+      .withColumn("text_len", length(col("text")))
+
   // --- queries ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------------------ PIT
     // J1-J7: single-view PIT join with TTL (SURVEY §2.3).
     "pit_latest_turn" -> ((s, dir) =>
       Historical.getHistoricalFeatures(
@@ -62,7 +70,102 @@ object SparkEntry {
     "pit_created_filter" -> ((s, dir) =>
       Historical.getHistoricalFeatures(
         Transcripts.entityFrame(s, dir),
-        Seq(convQualityView(s, dir)), filterByCreatedTs = true))
+        Seq(convQualityView(s, dir)), filterByCreatedTs = true)),
+    // Multi-view assembly with view__feature naming (J7/J8; P3).
+    "pit_multiview" -> ((s, dir) =>
+      Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(
+          turnStatsView(s, dir, ttlSec = 4 * 3600L)
+            .copy(features = Seq("turn_idx", "text_len")),
+          convQualityView(s, dir)),
+        fullFeatureNames = true)),
+    // Entityless / global view via DUMMY_ENTITY (J9; feature_view.py:95-108).
+    "pit_entityless" -> ((s, dir) => {
+      val g = s.read.parquet(s"$dir/events.parquet")
+        .filter(pmod(col("event_id"), lit(11)) === 0)
+        .select(col("ts"), col("value").as("gscore"), col("event_id"))
+      Historical.enrichEntityless(
+        Transcripts.entityFrame(s, dir),
+        FeatureView("global_stats", g, Nil, "ts", None, 0L,
+          features = Seq("gscore"), tieBreakCols = Seq("event_id")))
+    }),
+    // Field-mapping renames applied before the join (P1; utils.py:227-306).
+    "pit_field_mapping" -> ((s, dir) => {
+      val src = Transcripts.convQuality(s, dir).withColumnRenamed("score", "raw_score")
+      Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(FeatureView("conv_quality", src, Seq("conv_id"), "ts",
+          Some("created_ts"), 0L, features = Seq("quality"),
+          fieldMapping = Map("raw_score" -> "quality"),
+          tieBreakCols = Seq("event_id"))))
+    }),
+    // Non-entity retrieval: UNION DISTINCT entity discovery + as-of end date
+    // (W5; spark.py:1336-1387).
+    "nonentity_asof" -> ((s, dir) =>
+      Historical.nonEntityRetrieval(
+        Seq(convQualityView(s, dir)),
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))),
+
+    // ---------------------------------------------------------- aggregation
+    // A2: grouped aggregation, full reference function set.
+    "agg_grouped" -> ((s, dir) =>
+      Aggregations.grouped(transcriptLen(s, dir), Seq("conv_id"), Seq(
+        Aggregation("text_len", "count", alias = Some("n_turns")),
+        Aggregation("text_len", "sum", alias = Some("sum_len")),
+        Aggregation("text_len", "avg", alias = Some("avg_len")),
+        Aggregation("role", "count_distinct", alias = Some("n_roles")),
+        Aggregation("text_len", "std", alias = Some("std_len")),
+        Aggregation("text_len", "var", alias = Some("var_len"))))
+        .withColumn("std_len", round(col("std_len"), 6))
+        .withColumn("var_len", round(col("var_len"), 6))),
+    // A3: tumbling window aggregation.
+    "agg_tumbling" -> ((s, dir) =>
+      Aggregations.tumbling(transcriptLen(s, dir), Seq("conv_id"), "ts", 86400L, Seq(
+        Aggregation("text_len", "count", alias = Some("n_turns")),
+        Aggregation("text_len", "sum", alias = Some("sum_len"))))
+        .drop("win_end")),
+    // Sliding window aggregation (slide_interval, aggregation/__init__.py:44).
+    "agg_sliding" -> ((s, dir) =>
+      Aggregations.sliding(transcriptLen(s, dir), Seq("conv_id"), "ts", 3600L, 1800L, Seq(
+        Aggregation("text_len", "count", alias = Some("n_turns")),
+        Aggregation("text_len", "sum", alias = Some("sum_len"))))
+        .drop("win_end")),
+    // A4-A6: sawtooth tiling — cumulative tiles + tile subtraction.
+    "agg_tiled" -> ((s, dir) =>
+      Tiling.tiledAggregate(transcriptLen(s, dir), Seq("conv_id"), "ts",
+        "text_len", hopSec = 300L, windowSec = 3600L)
+        .withColumn("avg_w", round(col("avg_w"), 6))
+        .withColumn("var_w", round(col("var_w"), 6))
+        .withColumn("std_w", round(col("std_w"), 6))),
+    // A1: materialization pull-latest over a time slice.
+    "materialize_latest" -> ((s, dir) =>
+      Materialize.latestPerKey(convQualityView(s, dir),
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00")).drop("event_id")),
+
+    // ------------------------------------------------------ window features
+    "feat_lag_lead" -> ((s, dir) =>
+      TranscriptFeatures.lagLead(Transcripts.fromEvents(s, dir))),
+    "feat_rolling_role" -> ((s, dir) =>
+      TranscriptFeatures.rollingPerRole(transcriptLen(s, dir), "text_len", 3600L)),
+    "feat_tool_usage" -> ((s, dir) =>
+      TranscriptFeatures.toolUsage(Transcripts.fromEvents(s, dir), 4 * 3600L)),
+    "feat_sessionize" -> ((s, dir) =>
+      TranscriptFeatures.sessionize(Transcripts.fromEvents(s, dir), 1800L)),
+
+    // ----------------------------------------------------------- monitoring
+    "stats_value" -> ((s, dir) =>
+      Profile.numericStats(s.read.parquet(s"$dir/events.parquet"), "value")),
+    "stats_histogram" -> ((s, dir) =>
+      Profile.histogram(s.read.parquet(s"$dir/events.parquet"), "value", 10)),
+    "stats_topn" -> ((s, dir) =>
+      Profile.topN(s.read.parquet(s"$dir/events.parquet"), "event_type", 3)),
+    // W5: union-distinct entity discovery across views.
+    "union_entity_discovery" -> ((s, dir) =>
+      Seq(Transcripts.fromEvents(s, dir).select(col("conv_id")),
+        Transcripts.convQuality(s, dir).select(col("conv_id")))
+        .reduce(_ unionByName _).distinct())
   )
 
   // --- oracles ----------------------------------------------------------------
@@ -70,7 +173,8 @@ object SparkEntry {
   private def withTables(body: String): String =
     s"""WITH transcript AS (${Transcripts.fromEventsSql}),
        |entity AS (${Transcripts.entityFrameSql}),
-       |conv_quality AS (${Transcripts.convQualitySql})
+       |conv_quality AS (${Transcripts.convQualitySql}),
+       |tlen AS (SELECT *, length(text) AS text_len FROM transcript)
        |$body""".stripMargin
 
   private val turnStatsSql =
@@ -120,6 +224,175 @@ object SparkEntry {
          |   AND q.created_ts <= e.event_ts)
          |SELECT e.conv_id, e.event_ts, e.label, j.score
          |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
-         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin)
+         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
+    "pit_multiview" -> withTables(
+      s""", j1 AS (
+         |  SELECT e.conv_id, e.event_ts, f.turn_idx, length(f.text) AS text_len,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN transcript f ON f.conv_id = e.conv_id
+         |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR),
+         |j2 AS (
+         |  SELECT e.conv_id, e.event_ts, q.score,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN conv_quality q ON q.conv_id = e.conv_id AND q.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label,
+         |  j1.turn_idx AS turn_stats__turn_idx, j1.text_len AS turn_stats__text_len,
+         |  j2.score AS conv_quality__score
+         |FROM entity e
+         |LEFT JOIN (SELECT * FROM j1 WHERE rn = 1) j1
+         |  ON j1.conv_id = e.conv_id AND j1.event_ts = e.event_ts
+         |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2
+         |  ON j2.conv_id = e.conv_id AND j2.event_ts = e.event_ts""".stripMargin),
+    "pit_entityless" -> withTables(
+      s""", g AS (SELECT ts, value AS gscore, event_id FROM events WHERE event_id % 11 = 0),
+         |j AS (
+         |  SELECT e.event_ts, g.gscore,
+         |    row_number() OVER (PARTITION BY e.event_ts
+         |                       ORDER BY g.ts DESC, g.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT event_ts FROM entity) e
+         |  JOIN g ON g.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label, j.gscore
+         |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON j.event_ts = e.event_ts""".stripMargin),
+    "pit_field_mapping" -> withTables(
+      s""", j AS (
+         |  SELECT e.conv_id, e.event_ts, q.score AS quality,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN conv_quality q ON q.conv_id = e.conv_id AND q.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label, j.quality
+         |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
+    "nonentity_asof" -> withTables(
+      s""", u AS (SELECT DISTINCT conv_id FROM conv_quality),
+         |j AS (
+         |  SELECT q.conv_id, q.score,
+         |    row_number() OVER (PARTITION BY q.conv_id
+         |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
+         |  FROM conv_quality q WHERE q.ts <= TIMESTAMP '2024-01-15 00:00:00')
+         |SELECT u.conv_id, TIMESTAMP '2024-01-15 00:00:00' AS event_ts, j.score
+         |FROM u LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.conv_id = u.conv_id""".stripMargin),
+
+    "agg_grouped" -> withTables(
+      """SELECT conv_id,
+        |  count(text_len) AS n_turns,
+        |  CAST(sum(text_len) AS BIGINT) AS sum_len,
+        |  avg(text_len) AS avg_len,
+        |  count(DISTINCT role) AS n_roles,
+        |  round(stddev_samp(text_len), 6) AS std_len,
+        |  round(var_samp(text_len), 6) AS var_len
+        |FROM tlen GROUP BY conv_id""".stripMargin),
+    "agg_tumbling" -> withTables(
+      """SELECT conv_id, count(text_len) AS n_turns,
+        |  CAST(sum(text_len) AS BIGINT) AS sum_len,
+        |  date_trunc('day', ts) AS win_start
+        |FROM tlen GROUP BY conv_id, date_trunc('day', ts)""".stripMargin),
+    "agg_sliding" -> withTables(
+      """, expanded AS (
+        |  SELECT conv_id, text_len,
+        |    make_timestamp((epoch_us(ts) // 1800000000 - k.k) * 1800000000) AS win_start
+        |  FROM tlen, (SELECT 0 AS k UNION ALL SELECT 1) k)
+        |SELECT conv_id, count(text_len) AS n_turns,
+        |  CAST(sum(text_len) AS BIGINT) AS sum_len, win_start
+        |FROM expanded GROUP BY conv_id, win_start""".stripMargin),
+    "agg_tiled" -> withTables(
+      """, t2 AS (SELECT conv_id, text_len AS v, epoch_us(ts) AS tus FROM tlen),
+        |tiles AS (SELECT conv_id, tus // 300000000 AS hop,
+        |    CAST(sum(v) AS BIGINT) AS s, count(v) AS c,
+        |    CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS ss, max(v) AS mx
+        |  FROM t2 GROUP BY 1, 2),
+        |bounds AS (SELECT conv_id, min(hop) AS mn, max(hop) AS mxh FROM tiles GROUP BY 1),
+        |grid AS (SELECT conv_id, unnest(generate_series(mn, mxh)) AS hop FROM bounds),
+        |g AS (SELECT grid.conv_id, grid.hop,
+        |    coalesce(s, 0) AS s, coalesce(c, 0) AS c, coalesce(ss, 0) AS ss, mx
+        |  FROM grid LEFT JOIN tiles ON tiles.conv_id = grid.conv_id AND tiles.hop = grid.hop),
+        |cum AS (SELECT conv_id, hop,
+        |    sum(s) OVER w AS cs, sum(c) OVER w AS cc, sum(ss) OVER w AS css, max(mx) OVER w AS cmx
+        |  FROM g WINDOW w AS (PARTITION BY conv_id ORDER BY hop
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sub AS (SELECT conv_id, hop * 300 AS hop_start,
+        |    cs - lag(cs, 12, 0) OVER wl AS sw,
+        |    cc - lag(cc, 12, 0) OVER wl AS cw,
+        |    css - lag(css, 12, 0) OVER wl AS ssw, cmx
+        |  FROM cum WINDOW wl AS (PARTITION BY conv_id ORDER BY hop))
+        |SELECT conv_id, hop_start,
+        |  CASE WHEN cw > 0 THEN CAST(sw AS BIGINT) END AS sum_w,
+        |  CAST(cw AS BIGINT) AS count_w,
+        |  CASE WHEN cw > 0 THEN round(CAST(sw AS DOUBLE) / cw, 6) END AS avg_w,
+        |  CASE WHEN cw > 1 THEN round((CAST(ssw AS DOUBLE) - CAST(sw AS DOUBLE) * sw / cw) / (cw - 1), 6) END AS var_w,
+        |  CASE WHEN cw > 1 THEN round(sqrt((CAST(ssw AS DOUBLE) - CAST(sw AS DOUBLE) * sw / cw) / (cw - 1)), 6) END AS std_w,
+        |  CAST(cmx AS INT) AS max_cum
+        |FROM sub""".stripMargin),
+    "materialize_latest" -> withTables(
+      """SELECT conv_id, score, ts, created_ts FROM (
+        |  SELECT conv_id, score, ts, created_ts,
+        |    row_number() OVER (PARTITION BY conv_id
+        |                       ORDER BY ts DESC, created_ts DESC, event_id DESC) AS rn
+        |  FROM conv_quality
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-20 00:00:00') WHERE rn = 1""".stripMargin),
+
+    "feat_lag_lead" -> withTables(
+      """SELECT conv_id, turn_idx, role,
+        |  lag(role) OVER w AS prev_role,
+        |  lead(role) OVER w AS next_role,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_prev_us,
+        |  lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next_us
+        |FROM transcript WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""".stripMargin),
+    "feat_rolling_role" -> withTables(
+      """SELECT conv_id, turn_idx, role,
+        |  count(text_len) OVER w AS role_cnt_w,
+        |  CAST(sum(text_len) OVER w AS BIGINT) AS role_sum_w,
+        |  avg(text_len) OVER w AS role_avg_w
+        |FROM (SELECT conv_id, turn_idx, role, text_len, epoch_us(ts) AS tus FROM tlen)
+        |WINDOW w AS (PARTITION BY conv_id, role ORDER BY tus
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+    "feat_tool_usage" -> withTables(
+      """SELECT conv_id, turn_idx,
+        |  count(tool) OVER w AS tool_cnt_w,
+        |  count(*) OVER w AS turn_cnt_w
+        |FROM (SELECT conv_id, turn_idx, tool, epoch_us(ts) AS tus FROM transcript)
+        |WINDOW w AS (PARTITION BY conv_id ORDER BY tus
+        |             RANGE BETWEEN 14400000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+    "feat_sessionize" -> withTables(
+      """, flagged AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nf
+        |  FROM transcript WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        |sess AS (
+        |  SELECT conv_id, turn_idx,
+        |    CAST(sum(nf) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT conv_id, turn_idx, session_id,
+        |  CAST(row_number() OVER (PARTITION BY conv_id, session_id ORDER BY turn_idx) AS INT)
+        |    AS turn_in_session
+        |FROM sess""".stripMargin),
+
+    "stats_value" -> withTables(
+      """SELECT count(*) AS n_rows, count(value) AS n_nonnull,
+        |  round(avg(value), 6) AS mean,
+        |  round(stddev_samp(value), 6) AS std,
+        |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events""".stripMargin),
+    "stats_histogram" -> withTables(
+      """, mm AS (SELECT min(value) AS mn, (max(value) - min(value)) / 10 AS w FROM events)
+        |SELECT CAST(least(greatest(floor((value - mn) / w) + 1, 1), 10) AS INT) AS bucket,
+        |  count(*) AS cnt
+        |FROM events, mm WHERE value IS NOT NULL GROUP BY 1""".stripMargin),
+    "stats_topn" -> withTables(
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, event_type ASC LIMIT 3""".stripMargin),
+    "union_entity_discovery" -> withTables(
+      """SELECT DISTINCT conv_id FROM (
+        |  SELECT conv_id FROM transcript UNION ALL SELECT conv_id FROM conv_quality)""".stripMargin)
   )
 }

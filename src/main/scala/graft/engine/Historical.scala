@@ -75,7 +75,8 @@ object Historical {
         .toDF(keyCols: _*))
       .reduce(_ unionByName _)
       .distinct()
-      .withColumn(entityTsCol, lit(asOf))
+      // timestamp_ntz to match parquet-sourced naive timestamps end-to-end
+      .withColumn(entityTsCol, lit(asOf).cast("timestamp_ntz"))
     getHistoricalFeatures(universe, views, entityTsCol, fullFeatureNames)
   }
 }

@@ -1,0 +1,51 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Monitoring / profiling pack (reference A9-A11: spark.py:777-963):
+  * one-pass numeric stats, fixed-width histogram, categorical top-N.
+  */
+object Profile {
+
+  /** One-pass numeric column stats (spark.py:777-854). Uses exact
+    * `percentile` so results are oracle-comparable; swap for
+    * `percentile_approx` at 100 TB (single-pass sketch, same call shape).
+    * Doubles rounded to 6 places: cross-engine float sums are
+    * order-dependent, the rounding makes hashes comparable.
+    */
+  def numericStats(df: DataFrame, column: String): DataFrame = {
+    val c = col(column)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      count(c).as("n_nonnull"),
+      round(avg(c), 6).as("mean"),
+      round(stddev_samp(c), 6).as("std"),
+      round(min(c), 6).as("min_v"),
+      round(max(c), 6).as("max_v"),
+      round(percentile(c, lit(0.5)), 6).as("p50"),
+      round(percentile(c, lit(0.9)), 6).as("p90"))
+  }
+
+  /** Fixed-width histogram (spark.py:857-905): bucket =
+    * LEAST(GREATEST(FLOOR((x−min)/w)+1, 1), bins). Two-pass: min/max first
+    * (a tiny agg action), then one groupBy.
+    */
+  def histogram(df: DataFrame, column: String, bins: Int): DataFrame = {
+    val c = col(column)
+    val Row(mn: Double, mx: Double) =
+      df.agg(min(c).cast("double"), max(c).cast("double")).head()
+    val width = (mx - mn) / bins
+    val bucket = least(greatest(floor((c - lit(mn)) / lit(width)) + 1, lit(1)), lit(bins))
+    df.filter(c.isNotNull)
+      .groupBy(bucket.cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Categorical top-N (spark.py:908-963), deterministically tie-broken. */
+  def topN(df: DataFrame, column: String, n: Int): DataFrame =
+    df.groupBy(col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(column).asc)
+      .limit(n)
+}
