@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.feat.TranscriptFeatures
+import graft.agg.{Aggregations, Tiling}
+
+/** Window-feature and tiling golden tests (FIXTURES.md §F4). */
+class FeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+  private def at(sec: Long) = new Timestamp(base + sec * 1000L)
+
+  test("sessionize by 30-min inactivity gap") {
+    val turns = Seq(
+      Turn("c1", 0, "user", "a", null, at(0)),
+      Turn("c1", 1, "assistant", "b", null, at(10)),
+      Turn("c1", 2, "user", "c", null, at(2400)),      // 40 min gap → new session
+      Turn("c1", 3, "assistant", "d", null, at(2460)),
+      Turn("c1", 4, "user", "e", null, at(10000))      // big gap → third session
+    ).toDF()
+    val out = TranscriptFeatures.sessionize(turns, 1800L)
+      .orderBy("turn_idx")
+      .select("session_id", "turn_in_session").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((0L, 1), (0L, 2), (1L, 1), (1L, 2), (2L, 1)))
+  }
+
+  test("lag/lead gaps in exact microseconds") {
+    val turns = Seq(
+      Turn("c1", 0, "user", "a", null, at(0)),
+      Turn("c1", 1, "assistant", "b", null, at(7)),
+      Turn("c1", 2, "user", "c", null, at(19))).toDF()
+    val out = TranscriptFeatures.lagLead(turns).orderBy("turn_idx")
+      .select("prev_role", "gap_prev_us", "gap_next_us")
+      .collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).getLong(2) == 7000000L)
+    assert(out(1).getString(0) == "user" && out(1).getLong(1) == 7000000L)
+    assert(out(2).getString(0) == "assistant" && out(2).isNullAt(2))
+  }
+
+  test("per-role rolling window only sees same-role turns in range") {
+    val turns = Seq(
+      Turn("c1", 0, "user", "aaaa", null, at(0)),       // len 4
+      Turn("c1", 1, "assistant", "bb", null, at(10)),
+      Turn("c1", 2, "user", "cccccc", null, at(100)),   // len 6
+      Turn("c1", 3, "user", "dd", null, at(5000))       // len 2, >1h from t0? no: 5000s > 3600s
+    ).toDF().withColumn("text_len", length(col("text")))
+    val out = TranscriptFeatures.rollingPerRole(turns, "text_len", 3600L)
+      .orderBy("turn_idx").select("role_cnt_w", "role_avg_w")
+      .as[(Long, Double)].collect()
+    assert(out(0) == ((1L, 4.0)))
+    assert(out(1) == ((1L, 2.0)))       // assistant stream independent
+    assert(out(2) == ((2L, 5.0)))       // user: (4+6)/2
+    assert(out(3) == ((1L, 2.0)))       // user: t=5000 window [1400,5000] → only len 2
+  }
+
+  test("tool usage counts over TTL window") {
+    val turns = Seq(
+      Turn("c1", 0, "user", "a", null, at(0)),
+      Turn("c1", 1, "tool", "b", "bash", at(10)),
+      Turn("c1", 2, "tool", "c", "search", at(20)),
+      Turn("c1", 3, "user", "d", null, at(30))).toDF()
+    val out = TranscriptFeatures.toolUsage(turns, 3600L)
+      .orderBy("turn_idx").select("tool_cnt_w", "turn_cnt_w")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)))
+  }
+
+  test("tiled windowed agg equals brute force on dense+sparse data") {
+    val turns = Transcripts.syntheticRows(3, 40, seed = 13L)
+    val df = spark.createDataset(turns).toDF()
+      .withColumn("text_len", length(col("text")))
+    val hop = 300L; val win = 3600L
+    val out = Tiling.tiledAggregate(df, Seq("conv_id"), "ts", "text_len", hop, win)
+      .collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Long]("hop_start")) ->
+        (Option(r.getAs[Any]("sum_w")), r.getAs[Long]("count_w")))
+      .toMap
+    // brute force per grid tile
+    val byConv = turns.groupBy(_.conv_id)
+    byConv.foreach { case (c, ts) =>
+      val lens = ts.map(t => (t.ts.getTime / 1000 / hop, t.text.length.toLong))
+      val mn = lens.map(_._1).min; val mx = lens.map(_._1).max
+      (mn to mx).foreach { h =>
+        val inWin = lens.filter { case (hh, _) => hh > h - win / hop && hh <= h }
+        val key = (c, h * hop)
+        assert(out.contains(key), s"missing grid tile $key")
+        val (s, cnt) = out(key)
+        assert(cnt == inWin.size, s"count at $key")
+        if (inWin.nonEmpty)
+          assert(s.map(_.toString.toLong).contains(inWin.map(_._2).sum), s"sum at $key")
+        else assert(s.isEmpty)
+      }
+    }
+  }
+
+  test("unsupported aggregation function is rejected") {
+    intercept[IllegalArgumentException] {
+      Aggregations.aggColumn(Aggregation("x", "median"))
+    }
+    assert(Tiling.Rejected.contains("count_distinct"))
+  }
+}

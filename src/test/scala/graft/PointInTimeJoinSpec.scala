@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.pit.PointInTimeJoin
+import graft.engine.Historical
+import BruteForceOracle.Rec
+
+/** Golden tests of the PIT join vs the brute-force oracle (FIXTURES.md §F2,
+  * §F6; reference test shape: tests/integration/offline_store/
+  * test_universal_historical_retrieval.py:47).
+  */
+class PointInTimeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val turns = Transcripts.syntheticRows(nConvs = 10, turnsPerConv = 12, seed = 7L)
+  private val recs = turns.map(t =>
+    Rec(t.conv_id, t.ts, None, t.turn_idx.toLong, t.turn_idx.toDouble))
+
+  private def view(ttl: Long): FeatureView = {
+    val src = spark.createDataset(turns).toDF()
+      .select(col("conv_id"), col("ts"), col("turn_idx"),
+        col("ts").as("turn_ts"))
+    FeatureView("turn_stats", src, Seq("conv_id"), "ts", None, ttl,
+      features = Seq("turn_idx", "turn_ts"), tieBreakCols = Seq("turn_idx"))
+  }
+
+  /** Entity rows: exact turn boundaries, mid-gap, before-first-turn,
+    * long-after-last-turn, and unknown conv ids (must yield nulls). */
+  private val entities: Seq[(String, Timestamp, Double)] = {
+    val byConv = turns.groupBy(_.conv_id)
+    byConv.toSeq.sortBy(_._1).flatMap { case (c, ts) =>
+      val sorted = ts.sortBy(_.turn_idx)
+      Seq(
+        (c, sorted.head.ts, 1.0),                                    // exact first
+        (c, sorted(5).ts, 2.0),                                      // exact mid
+        (c, new Timestamp(sorted(5).ts.getTime + 1000), 3.0),        // mid-gap
+        (c, new Timestamp(sorted.head.ts.getTime - 60000), 4.0),     // before first
+        (c, new Timestamp(sorted.last.ts.getTime + 48 * 3600000L), 5.0)) // far after
+    } :+ (("conv_nope", ts("2026-01-05 00:00:00"), 6.0))
+  }
+
+  private def entityDf = entities.toDF("conv_id", "event_ts", "label")
+
+  private def runAndCheck(ttl: Long): Unit = {
+    val out = PointInTimeJoin.enrich(entityDf, view(ttl)).collect()
+    assert(out.length == entities.length, "every entity row must survive")
+    out.foreach { r =>
+      val key = r.getAs[String]("conv_id")
+      val ets = r.getAs[Timestamp]("event_ts")
+      val expected = BruteForceOracle.findLatest(recs, key, ets, ttl)
+      val got = Option(r.getAs[Any]("turn_idx")).map(_.toString.toInt)
+      assert(got == expected.map(_.value.toInt),
+        s"mismatch at ($key, $ets): got $got expected ${expected.map(_.value.toInt)}")
+      // zero temporal leakage: contributing feature ts never exceeds event ts
+      Option(r.getAs[Timestamp]("turn_ts")).foreach { fts =>
+        assert(!fts.after(ets), s"LEAKAGE at ($key, $ets): feature ts $fts")
+        if (ttl > 0)
+          assert(fts.getTime >= ets.getTime - ttl * 1000L, "TTL violated")
+      }
+    }
+  }
+
+  test("PIT join matches brute-force oracle with TTL 1h") { runAndCheck(3600L) }
+  test("PIT join matches brute-force oracle with TTL 1d") { runAndCheck(86400L) }
+  test("PIT join matches brute-force oracle without TTL") { runAndCheck(0L) }
+
+  test("unknown conv ids yield all-null features, rows preserved") {
+    val out = PointInTimeJoin.enrich(entityDf, view(3600L))
+      .filter(col("conv_id") === "conv_nope").collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("turn_idx")))
+    assert(out.head.getAs[Double]("label") == 6.0)
+  }
+
+  test("exact boundary feature_ts == event_ts matches (<= semantics)") {
+    val first = turns.filter(_.conv_id == "conv_000000").minBy(_.turn_idx)
+    val e = Seq((first.conv_id, first.ts, 0.0)).toDF("conv_id", "event_ts", "label")
+    val out = PointInTimeJoin.enrich(e, view(3600L)).collect().head
+    assert(out.getAs[Int]("turn_idx") == first.turn_idx)
+  }
+
+  test("duplicate entity rows each get the same features") {
+    val first = turns.filter(_.conv_id == "conv_000001").maxBy(_.turn_idx)
+    val e = Seq(
+      (first.conv_id, first.ts, 1.0),
+      (first.conv_id, first.ts, 2.0)).toDF("conv_id", "event_ts", "label")
+    val out = PointInTimeJoin.enrich(e, view(0L)).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Int]("turn_idx")).toSet == Set(first.turn_idx))
+  }
+
+  test("multi-view full_feature_names prefixes and collision rule") {
+    val v1 = view(3600L).copy(name = "a")
+    val v2 = view(0L).copy(name = "b")
+    val out = Historical.getHistoricalFeatures(entityDf, Seq(v1, v2), fullFeatureNames = true)
+    assert(out.columns.count(_.startsWith("a__")) == 2)
+    assert(out.columns.count(_.startsWith("b__")) == 2)
+    intercept[IllegalArgumentException] {
+      Historical.getHistoricalFeatures(entityDf, Seq(v1, v2))
+    }
+  }
+
+  test("randomized PIT vs oracle (seeded)") {
+    val rnd = new scala.util.Random(99)
+    val base = ts("2026-02-01 00:00:00").getTime
+    val rrecs = (0 until 400).map { i =>
+      Rec(s"k${rnd.nextInt(12)}", new Timestamp(base + rnd.nextInt(1000000) * 100L),
+        None, i.toLong, i.toDouble)
+    }
+    val rents = (0 until 120).map { _ =>
+      (s"k${rnd.nextInt(14)}", new Timestamp(base + rnd.nextInt(1100000) * 100L), 0.0)
+    }
+    val src = rrecs.map(r => (r.key, r.ts, r.tiebreak, r.value))
+      .toDF("conv_id", "ts", "tiebreak", "v")
+    val v = FeatureView("r", src, Seq("conv_id"), "ts", None, 7200L,
+      features = Seq("v"), tieBreakCols = Seq("tiebreak"))
+    val out = PointInTimeJoin.enrich(rents.toDF("conv_id", "event_ts", "label"), v)
+      .collect()
+    assert(out.length == rents.length)
+    out.foreach { r =>
+      val expected = BruteForceOracle
+        .findLatest(rrecs, r.getAs[String]("conv_id"), r.getAs[Timestamp]("event_ts"), 7200L)
+        .map(_.value)
+      val got = Option(r.getAs[Any]("v")).map(_.toString.toDouble)
+      assert(got == expected)
+    }
+  }
+}
