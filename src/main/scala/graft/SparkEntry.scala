@@ -54,6 +54,13 @@ object SparkEntry {
       Historical.getHistoricalFeatures(
         Transcripts.entityFrame(s, dir),
         Seq(turnStatsView(s, dir, ttlSec = 4 * 3600L)))),
+    // Hot-key salted variant of the same join (north rule skew handling;
+    // graft.skew.Salting) — must produce identical rows to pit_latest_turn.
+    "pit_salted" -> ((s, dir) =>
+      pit.PointInTimeJoin.enrich(
+        Transcripts.entityFrame(s, dir),
+        turnStatsView(s, dir, ttlSec = 4 * 3600L),
+        saltBuckets = 8, hotKeyRowThreshold = 50L)),
     // No-TTL variant (offline_utils.py:144-147 — ttl 0 = unbounded below).
     "pit_no_ttl" -> ((s, dir) =>
       Historical.getHistoricalFeatures(
@@ -181,19 +188,22 @@ object SparkEntry {
     """SELECT conv_id, ts, turn_idx, role, length(text) AS text_len,
       |  tool IS NOT NULL AS is_tool, ts AS turn_ts FROM transcript""".stripMargin
 
+  private val pitLatestTurnOracle = withTables(
+    s""", feat AS ($turnStatsSql),
+       |j AS (
+       |  SELECT e.conv_id, e.event_ts, f.turn_idx, f.role, f.text_len, f.is_tool, f.turn_ts,
+       |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+       |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+       |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+       |  JOIN feat f ON f.conv_id = e.conv_id
+       |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR)
+       |SELECT e.conv_id, e.event_ts, e.label, j.turn_idx, j.role, j.text_len, j.is_tool, j.turn_ts
+       |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+       |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
-    "pit_latest_turn" -> withTables(
-      s""", feat AS ($turnStatsSql),
-         |j AS (
-         |  SELECT e.conv_id, e.event_ts, f.turn_idx, f.role, f.text_len, f.is_tool, f.turn_ts,
-         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
-         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
-         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
-         |  JOIN feat f ON f.conv_id = e.conv_id
-         |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR)
-         |SELECT e.conv_id, e.event_ts, e.label, j.turn_idx, j.role, j.text_len, j.is_tool, j.turn_ts
-         |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
-         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
+    "pit_latest_turn" -> pitLatestTurnOracle,
+    "pit_salted" -> pitLatestTurnOracle,
     "pit_no_ttl" -> withTables(
       s""", j AS (
          |  SELECT e.conv_id, e.event_ts, f.turn_idx, f.role,

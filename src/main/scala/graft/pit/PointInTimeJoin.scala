@@ -51,7 +51,9 @@ object PointInTimeJoin {
       entityTsCol: String = "event_ts",
       fullFeatureNames: Boolean = false,
       filterByCreatedTs: Boolean = false,
-      broadcastThresholdRows: Long = DefaultBroadcastRows
+      broadcastThresholdRows: Long = DefaultBroadcastRows,
+      saltBuckets: Int = 0,
+      hotKeyRowThreshold: Long = 5000000L
   ): DataFrame = {
     val keys = view.joinKeys
     val feats = view.resolvedFeatures
@@ -81,14 +83,31 @@ object PointInTimeJoin {
     val probeRaw = entityDf
       .select((keys :+ entityTsCol).map(col): _*)
       .dropDuplicates(keys :+ entityTsCol)
+
+    // Hot-conversation salting (north rule; graft.skew.Salting): split keys
+    // with > hotKeyRowThreshold source rows into saltBuckets sub-keys. The
+    // feature side spreads by xxhash64(ts); the probe side replicates per
+    // salt. The groupBy below re-merges across salts (max_by is
+    // order-associative), so results are byte-identical to the unsalted
+    // plan — SaltingSpec asserts this.
+    val saltKeys = if (saltBuckets > 1 && keys.nonEmpty) Seq("__salt") else Nil
+    val (srcS, probeS) =
+      if (saltKeys.nonEmpty) {
+        val hot = graft.skew.Salting.detectHotKeys(
+          src.select(keys.map(col): _*), keys, hotKeyRowThreshold, saltBuckets)
+        (graft.skew.Salting.saltLarge(src, hot, keys, col(view.tsCol)),
+          graft.skew.Salting.saltSmall(probeRaw, hot, keys))
+      } else (src, probeRaw)
+
     val probe =
-      if (shouldBroadcast(entityDf, broadcastThresholdRows)) broadcast(probeRaw)
-      else probeRaw
+      if (saltKeys.isEmpty && shouldBroadcast(entityDf, broadcastThresholdRows))
+        broadcast(probeS)
+      else probeS
 
     // J3: equi+theta range join.
     val fts = col("__src." + view.tsCol)
     val ets = col("__probe." + entityTsCol)
-    var cond: Column = keys
+    var cond: Column = (keys ++ saltKeys)
       .map(k => col("__src." + k) === col("__probe." + k))
       .reduce(_ && _) && (fts <= ets)
     if (view.ttlSeconds > 0)
@@ -96,7 +115,7 @@ object PointInTimeJoin {
     view.createdTsCol.foreach { c =>
       if (filterByCreatedTs) cond = cond && (col("__src." + c) <= ets)
     }
-    val joined = src.alias("__src").join(probe.alias("__probe"), cond, "inner")
+    val joined = srcS.alias("__src").join(probe.alias("__probe"), cond, "inner")
 
     // J4+J5+J6 fused: latest-row selection as a single partial-aggregable
     // max_by instead of row_number + join-back. Ordering: (ts desc, created
