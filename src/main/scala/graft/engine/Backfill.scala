@@ -1,0 +1,184 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Resumable, per-partition checkpointed backfill (north rule).
+  *
+  * Generalizes the reference's resume mechanism — `materialization_intervals`
+  * / `most_recent_end_time` per feature view (reference: sdk/python/feast/
+  * feature_view.py:482-490,795-804; applied by the spark-submit app at
+  * infra/compute_engines/spark_application/main.py:95-99) — from coarse
+  * time-interval bookkeeping to **one lineage manifest per source partition**:
+  *
+  *   checkpointDir/<partition>.json   {partition, status, input_rows,
+  *     output_rows, input_files, started_at_ms, duration_ms, rows_per_sec}
+  *
+  * A partition is skipped on re-run iff its manifest says `complete`, so a
+  * backfill killed mid-run resumes exactly where it stopped; the manifest is
+  * written atomically (temp file + move) so a crash mid-write re-runs that
+  * partition rather than trusting a torn file. Partition outputs are
+  * `overwrite` so re-running a partition is idempotent.
+  *
+  * Scale design: the *loop* is over source partitions (days of `ts` — the
+  * Iceberg `days(ts)` layout; plain parquet `ds=` directories stand in here
+  * because the sandbox has no Iceberg runtime). Each iteration is a fully
+  * distributed Spark job over one partition plus `lookbackPartitions` of
+  * history (windowed features need a bounded lookback across the boundary);
+  * partition pruning keeps the scan at O(partition), and output rows are
+  * re-filtered to the target partition so overlapping reads never duplicate
+  * output. A 1000-executor cluster runs each day's job wide; checkpoint
+  * granularity = restart granularity = one day.
+  */
+object Backfill {
+
+  final case class PartitionResult(
+      partition: String,
+      status: String,
+      inputRows: Long,
+      outputRows: Long,
+      durationMs: Long
+  )
+
+  /** One backfill pass. Returns the per-partition results of THIS run
+    * (skipped partitions excluded).
+    *
+    * @param source       partitioned source (must contain `partitionCol`)
+    * @param partitionCol partition column, e.g. `ds` = date of `ts`
+    * @param job          the distributed feature job; receives the slice
+    *                     [partition − lookback, partition] and must keep
+    *                     `partitionCol` in its output
+    * @param lookbackPartitions extra trailing partitions visible to `job`
+    *                     (TTL windows / session lookback)
+    * @param maxPartitions stop after N partitions (test hook simulating a
+    *                     killed run)
+    */
+  def run(
+      spark: SparkSession,
+      source: DataFrame,
+      partitionCol: String,
+      outDir: String,
+      checkpointDir: String,
+      job: DataFrame => DataFrame,
+      lookbackPartitions: Int = 0,
+      maxPartitions: Int = Int.MaxValue
+  ): Seq[PartitionResult] = {
+    Files.createDirectories(Paths.get(checkpointDir))
+    val partitions = source
+      .select(col(partitionCol).cast("string"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    val pending = partitions.filterNot(p => isComplete(checkpointDir, p))
+
+    pending.take(maxPartitions).map { p =>
+      val idx = partitions.indexOf(p)
+      val visible = partitions.slice(math.max(0, idx - lookbackPartitions), idx + 1)
+      val t0 = System.currentTimeMillis()
+      val slice = source.filter(col(partitionCol).cast("string").isin(visible: _*))
+      val outRaw = job(slice).filter(col(partitionCol).cast("string") === p)
+      // Observation metrics: output rows counted inside the write job itself
+      // (stays in whole-stage codegen — no second action, no accumulator map)
+      val obs = org.apache.spark.sql.Observation(s"backfill_$p")
+      outRaw.observe(obs, count(lit(1)).as("out_rows"))
+        .write.mode("overwrite").parquet(s"$outDir/$partitionCol=$p")
+      val outputRows = obs.get("out_rows").asInstanceOf[Long]
+      val inputRows = slice.count()
+      val dur = System.currentTimeMillis() - t0
+      val lineage = slice.inputFiles.toSeq.sorted
+      writeManifest(checkpointDir, p, inputRows, outputRows, lineage, t0, dur)
+      PartitionResult(p, "complete", inputRows, outputRows, dur)
+    }.toSeq
+  }
+
+  /** Read the backfilled output back (partition-discovering parquet read). */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", outDir).parquet(outDir)
+
+  def isComplete(checkpointDir: String, partition: String): Boolean = {
+    val f = manifestPath(checkpointDir, partition)
+    Files.exists(f) &&
+    new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .contains("\"status\": \"complete\"")
+  }
+
+  def completedPartitions(checkpointDir: String): Seq[String] = {
+    val d = Paths.get(checkpointDir)
+    if (!Files.exists(d)) Nil
+    else
+      Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json"))
+        .filter(isComplete(checkpointDir, _))
+        .toSeq.sorted
+  }
+
+  private def manifestPath(dir: String, partition: String): Path =
+    Paths.get(dir, s"$partition.json")
+
+  private def writeManifest(
+      dir: String, partition: String, inputRows: Long, outputRows: Long,
+      inputFiles: Seq[String], startedAtMs: Long, durationMs: Long): Unit = {
+    val rps = if (durationMs > 0) inputRows * 1000.0 / durationMs else 0.0
+    val files = inputFiles.map(f => "\"" + f.replace("\"", "\\\"") + "\"").mkString("[", ", ", "]")
+    val json =
+      s"""{
+         |  "partition": "$partition",
+         |  "status": "complete",
+         |  "input_rows": $inputRows,
+         |  "output_rows": $outputRows,
+         |  "input_files": $files,
+         |  "started_at_ms": $startedAtMs,
+         |  "duration_ms": $durationMs,
+         |  "rows_per_sec": $rps
+         |}
+         |""".stripMargin
+    val tmp = Paths.get(dir, s".$partition.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(dir, partition),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** spark-submit entry point: backfill the transcript feature pack
+    * (sessionize + lag/lead gaps + rolling tool usage) over a day-partitioned
+    * transcript table.
+    *
+    *   spark-submit --class graft.engine.Backfill <jar> \
+    *     <sourceDir> <outDir> <checkpointDir> [maxPartitions]
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Backfill <sourceDir> <outDir> <checkpointDir> [maxPartitions]")
+    val Array(sourceDir, outDir, checkpointDir) = args.take(3)
+    val maxParts = if (args.length > 3) args(3).toInt else Int.MaxValue
+    val spark = SparkSession.builder()
+      .appName("graft-backfill")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val source = spark.read.option("basePath", sourceDir).parquet(sourceDir)
+    val results = run(spark, source, "ds", outDir, checkpointDir,
+      dailyFeatureJob, lookbackPartitions = 1, maxPartitions = maxParts)
+    results.foreach { r =>
+      println(s"""{"partition":"${r.partition}","input_rows":${r.inputRows},""" +
+        s""""output_rows":${r.outputRows},"duration_ms":${r.durationMs}}""")
+    }
+    spark.stop()
+  }
+
+  /** The default backfill job: per-turn transcript features over the slice.
+    * Keeps `ds` so the partition filter applies to the output.
+    */
+  def dailyFeatureJob(slice: DataFrame): DataFrame = {
+    import graft.feat.TranscriptFeatures
+    val withLen = slice.withColumn("text_len", length(col("text")))
+    val sess = TranscriptFeatures.sessionize(slice, gapSec = 1800L)
+    val tools = TranscriptFeatures.toolUsage(slice, windowSec = 4 * 3600L)
+    withLen
+      .join(sess, Seq("conv_id", "turn_idx"))
+      .join(tools, Seq("conv_id", "turn_idx"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Backfill
+import java.nio.file.Files
+
+/** Resumable-backfill properties (north rule): kill mid-run → resume skips
+  * completed partitions; re-run is a no-op; the resumed output equals a
+  * fresh single-pass backfill; manifests carry lineage + metrics.
+  */
+class BackfillSpec extends SparkTestBase {
+
+  private val tmp = Files.createTempDirectory("graft-backfill").toString
+  private val srcDir = s"$tmp/src"
+
+  private lazy val source = {
+    Transcripts.synthetic(spark, nConvs = 40, turnsPerConv = 15, seed = 11L)
+      .withColumn("ds", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("ds").mode("overwrite").parquet(srcDir)
+    spark.read.option("basePath", srcDir).parquet(srcDir)
+  }
+
+  private def job(df: org.apache.spark.sql.DataFrame) = Backfill.dailyFeatureJob(df)
+
+  test("kill mid-run, resume, and no-op re-run; output equals single pass") {
+    val nParts = source.select("ds").distinct().count()
+    assert(nParts >= 2, s"fixture must span several day partitions, got $nParts")
+
+    // 1. killed run: only 2 partitions complete
+    val r1 = Backfill.run(spark, source, "ds", s"$tmp/out", s"$tmp/ckpt",
+      job, lookbackPartitions = 1, maxPartitions = 2)
+    assert(r1.length == 2)
+    assert(Backfill.completedPartitions(s"$tmp/ckpt") == r1.map(_.partition).sorted)
+
+    // 2. resume: finishes the rest, does not redo the first two
+    val r2 = Backfill.run(spark, source, "ds", s"$tmp/out", s"$tmp/ckpt",
+      job, lookbackPartitions = 1)
+    assert(r2.map(_.partition).toSet.intersect(r1.map(_.partition).toSet).isEmpty)
+    assert((r1 ++ r2).map(_.partition).length == nParts)
+
+    // 3. idempotent: nothing left to do
+    val r3 = Backfill.run(spark, source, "ds", s"$tmp/out", s"$tmp/ckpt",
+      job, lookbackPartitions = 1)
+    assert(r3.isEmpty)
+
+    // 4. resumed output == fresh single-pass output
+    Backfill.run(spark, source, "ds", s"$tmp/out2", s"$tmp/ckpt2",
+      job, lookbackPartitions = 1)
+    val a = Backfill.readOutput(spark, s"$tmp/out")
+    val b = Backfill.readOutput(spark, s"$tmp/out2")
+    assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
+
+    // 5. every output row stayed in its own partition
+    val base = source.withColumn("text_len", length(col("text")))
+    assert(a.select("conv_id", "turn_idx", "ds").except(
+      base.select("conv_id", "turn_idx", "ds")).isEmpty)
+  }
+
+  test("manifest carries lineage and metrics") {
+    // runs after the previous test (same ckpt dir) — read one manifest
+    val parts = Backfill.completedPartitions(s"$tmp/ckpt")
+    assert(parts.nonEmpty)
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/ckpt", s"${parts.head}.json")))
+    for (k <- Seq("\"status\": \"complete\"", "input_rows", "output_rows",
+        "input_files", "duration_ms", "rows_per_sec"))
+      assert(json.contains(k), s"manifest missing $k:\n$json")
+    // lineage points at real source files of this partition
+    assert(json.contains(".parquet"))
+  }
+
+  test("torn manifest is not treated as complete") {
+    val ckpt = s"$tmp/ckpt3"
+    Files.createDirectories(java.nio.file.Paths.get(ckpt))
+    Files.write(java.nio.file.Paths.get(ckpt, "2026-01-01.json"),
+      "{\"partition\": \"2026-01-01\", \"status\": \"running".getBytes)
+    assert(!Backfill.isComplete(ckpt, "2026-01-01"))
+    assert(Backfill.completedPartitions(ckpt).isEmpty)
+  }
+}
