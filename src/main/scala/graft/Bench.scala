@@ -1,24 +1,106 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract). Prints ONE JSON line.
+  *
+  * Two phases:
+  *  1. headline query timings on SPARK_GRAFT_SF_DIR at local[CPUS]
+  *  2. the north-rule scaling run: the flagship historical-retrieval job at
+  *     N and 4N cores over the SAME multi-million-turn deterministic
+  *     transcript table (written once to /tmp), reporting turns/sec at both
+  *     and efficiency = (thr_4N / thr_N) / 4 — the in-sandbox stand-in for
+  *     N vs 4N executor clusters (BASELINE.md). The driver-sf tables are too
+  *     small for this (a 0.5 s job is all fixed overhead), so the scaling
+  *     input is sized via SPARK_GRAFT_SCALE_CONVS to keep compute dominant.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timeSec(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The scaling workload: full historical retrieval (PIT join with TTL +
+    * salting guard) of per-turn features onto an entity frame sampled from
+    * the transcript (~1 row per 10 turns).
+    */
+  private def retrieval(spark: SparkSession, path: String): DataFrame = {
+    val t = spark.read.parquet(path)
+    val entity = t
+      .filter(pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(10)) === 0)
+      .select(col("conv_id"), (col("ts") + expr("INTERVAL 30 SECONDS")).as("event_ts"))
+    val view = FeatureView("turn_stats",
+      t.select(col("conv_id"), col("ts"), col("turn_idx"), col("role"),
+        length(col("text")).as("text_len")),
+      Seq("conv_id"), "ts", None, ttlSeconds = 4 * 3600L,
+      features = Seq("turn_idx", "role", "text_len"),
+      tieBreakCols = Seq("turn_idx"))
+    engine.Historical.getHistoricalFeatures(entity, Seq(view))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nSmall = math.max(1, cpus / 4)
+    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "60000").toLong
+    val scalePath = s"/tmp/graft_bench_scale_$scaleConvs"
+
+    // ---- warm-up + scale-input generation at local[cpus] ----
+    var spark = session(cpus)
+    SparkEntry.queries("pit_latest_turn")(spark, sfDir).count()
+    if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
+      Transcripts.syntheticDistributed(spark, scaleConvs, turnsPerConv = 60)
+        .write.mode("overwrite").parquet(scalePath)
+    val turns = spark.read.parquet(scalePath).count()
+    retrieval(spark, scalePath).count() // warm the scaling plan too
+
+    // ---- phase 2a: scaling workload at 4N cores (min of 3 — isolates the
+    // steady-state plan cost from JVM/GC noise) ----
+    val sec4N = (1 to 3).map(_ => timeSec(retrieval(spark, scalePath).count())).min
+
+    // ---- phase 1: headline query timings at local[cpus] ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeSec {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // ---- phase 2b: same workload, same input, N cores ----
+    spark = session(nSmall)
+    val secN = (1 to 3).map(_ => timeSec(retrieval(spark, scalePath).count())).min
+    spark.stop()
+
+    val thrN = turns / secN
+    val thr4N = turns / sec4N
+    val efficiency = (thr4N / thrN) / (cpus.toDouble / nSmall)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scaling =
+      s"""{"cores_n":$nSmall,"cores_4n":$cpus,"turns":$turns,""" +
+        f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,""" +
+        f""""turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,""" +
+        f""""efficiency":$efficiency%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","flagship":"pit_latest_turn","scaling":$scaling}""")
   }
 }

@@ -121,6 +121,36 @@ object Transcripts {
     spark.createDataset(rows).toDF()
   }
 
+  /** Fully distributed deterministic generator for scale benchmarks: no
+    * driver-side materialization, no RNG state — every column is a pure
+    * function of (conv id, turn_idx) via xxhash64, so the same (nConvs,
+    * turnsPerConv) always yields the same table at any parallelism.
+    * Timestamps are strictly increasing per conversation (base + 600 s per
+    * turn + hash jitter < 300 s). ~1% of conversations are hot with 50×
+    * more turns (skew fixture, FIXTURES.md §F1).
+    */
+  def syntheticDistributed(spark: SparkSession, nConvs: Long, turnsPerConv: Int): DataFrame = {
+    val id = col("id")
+    spark.range(nConvs)
+      .withColumn("n",
+        when(pmod(id, lit(100)) === 7, lit(turnsPerConv * 50)).otherwise(lit(turnsPerConv)))
+      .select(id, explode(sequence(lit(0), col("n") - 1)).as("turn_idx"))
+      .select(
+        concat(lit("conv_"), format_string("%09d", id)).as("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"),
+        when(pmod(col("turn_idx"), lit(3)) === 0, lit("user"))
+          .when(pmod(col("turn_idx"), lit(3)) === 1, lit("assistant"))
+          .otherwise(lit("tool")).as("role"),
+        concat(lit("c="), id, lit(" t="), col("turn_idx")).as("text"),
+        when(pmod(col("turn_idx"), lit(3)) === 2,
+          element_at(lit(Array("search", "bash", "browser", "editor")),
+            (pmod(xxhash64(id, col("turn_idx")), lit(4)) + 1).cast("int")))
+          .otherwise(lit(null).cast("string")).as("tool"),
+        timestamp_millis(
+          lit(baseTs) + id * 3600000L + col("turn_idx") * 600000L +
+            pmod(xxhash64(id, col("turn_idx"), lit(1)), lit(300000L))).as("ts"))
+  }
+
   def syntheticRows(nConvs: Int, turnsPerConv: Int, seed: Long = 42L): Seq[Turn] = {
     val tools = Array("search", "bash", "browser", "editor")
     (0 until nConvs).flatMap { ci =>
