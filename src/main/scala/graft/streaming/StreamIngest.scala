@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming ingest pipeline (SURVEY §2.7).
+  *
+  * Mirrors the reference's stream processor shape — readStream → decode →
+  * transform → `writeStream.outputMode("update")` + `foreachBatch` with
+  * per-batch dedup-to-latest and a created-timestamp stamp (reference:
+  * infra/contrib/spark_kafka_processor.py:74-175) — with two deliberate
+  * divergences, both documented there as reference weaknesses we must not
+  * copy:
+  *
+  *  - the per-batch dedup runs **distributed** (max_by groupBy), not via
+  *    `toPandas()` on the driver (`spark_kafka_processor.py:139` pulls every
+  *    micro-batch to the driver — a scalability bug);
+  *  - late data is handled with **watermarks** (`withWatermark` + windowed /
+  *    session aggregations) instead of the reference's
+  *    processing-time-only, `startingOffsets=latest` stance
+  *    (`spark_kafka_processor.py:89` — its only late-data control is
+  *    read-time TTL).
+  */
+object StreamIngest {
+
+  /** Kafka-style decode: a `value` byte/string column of JSON → typed
+    * columns (reference `_ingest_stream_data`,
+    * spark_kafka_processor.py:106-130; F4 `from_json`).
+    */
+  def decodeJson(stream: DataFrame, schema: StructType): DataFrame =
+    stream
+      .select(from_json(col("value").cast("string"), schema).as("__r"))
+      .select(col("__r.*"))
+
+  /** Distributed per-batch dedup-to-latest (reference ST2,
+    * spark_kafka_processor.py:138-153: sort desc + groupby.nth(0)): one row
+    * per key — the max over (tsCol, tiebreaks) — computed with a
+    * partial-aggregable max_by, stamped with `created_ts`.
+    *
+    * @param createdTs injected (never now() in tests — determinism)
+    */
+  def latestPerKeyBatch(
+      batch: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieBreakCols: Seq[String],
+      createdTs: java.sql.Timestamp
+  ): DataFrame = {
+    val payload = batch.columns.filterNot(keys.contains).toSeq
+    val ord = struct((col(tsCol) +: tieBreakCols.map(col)): _*)
+    batch
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), ord).as("__best"))
+      .select(keys.map(col) ++ payload.map(c => col("__best." + c).as(c)): _*)
+      .withColumn("created_ts", lit(createdTs))
+  }
+
+  /** ST1: the ingest query. Each micro-batch is deduped to latest per key
+    * and appended to `outPath` with its batch id (the "online store write"
+    * stand-in — the sandbox has no Kafka/Redis; the parquet append is the
+    * offline path of `_write_stream_data`, spark_kafka_processor.py:155-175).
+    */
+  def ingest(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieBreakCols: Seq[String],
+      outPath: String,
+      checkpoint: String,
+      createdTs: java.sql.Timestamp
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        latestPerKeyBatch(batch, keys, tsCol, tieBreakCols, createdTs)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** ST3 (idiomatic replacement): watermarked tumbling aggregation —
+    * late rows beyond the watermark are dropped, windows finalize exactly
+    * once in append mode.
+    */
+  def windowedAgg(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowSec: Long,
+      watermarkSec: Long,
+      aggs: Seq[org.apache.spark.sql.Column]
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, s"$watermarkSec seconds")
+      .groupBy((keys.map(col) :+ window(col(tsCol), s"$windowSec seconds")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("win_start", col("window.start"))
+      .drop("window")
+
+  /** Streaming sessionization: `session_window` by inactivity gap — the
+    * streaming dual of TranscriptFeatures.sessionize (north rule).
+    */
+  def sessionAgg(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gapSec: Long,
+      watermarkSec: Long
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, s"$watermarkSec seconds")
+      .groupBy((keys.map(col) :+ session_window(col(tsCol), s"$gapSec seconds")): _*)
+      .agg(count(lit(1)).as("n_turns"), max(col(tsCol)).as("last_ts"))
+      .withColumn("session_start", col("session_window.start"))
+      .drop("session_window")
+}

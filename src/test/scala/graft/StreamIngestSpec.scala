@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamIngest
+
+/** Streaming ingest semantics vs their batch duals, driven by MemoryStream
+  * micro-batches (no Kafka in the sandbox; the pipeline shape is identical).
+  */
+class StreamIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val tmp = Files.createTempDirectory("graft-stream").toString
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val created = ts("2026-02-01 00:00:00")
+
+  private val turns: Seq[Turn] = Transcripts.syntheticRows(nConvs = 6, turnsPerConv = 14, seed = 5L)
+
+  test("foreachBatch ingest dedups to latest per key within each batch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamIngest.ingest(mem.toDF(), Seq("conv_id"), "ts",
+      Seq("turn_idx"), s"$tmp/out", s"$tmp/ckpt", created)
+    val (b0, b1) = turns.splitAt(turns.length / 2)
+    mem.addData(b0); q.processAllAvailable()
+    mem.addData(b1); q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(s"$tmp/out")
+    // one row per (conv_id, batch) that saw the conv
+    val perBatch = out.groupBy("conv_id", "batch_id").count().collect()
+    assert(perBatch.forall(_.getAs[Long]("count") == 1L))
+    // each batch's winner is the max-ts turn of that conv within the batch
+    for ((batch, id) <- Seq((b0, 0L), (b1, 1L))) {
+      val expected = batch.groupBy(_.conv_id).map { case (c, ts) =>
+        c -> ts.maxBy(t => (t.ts.getTime, t.turn_idx)).turn_idx
+      }
+      val got = out.filter(col("batch_id") === id)
+        .select("conv_id", "turn_idx").as[(String, Int)].collect().toMap
+      assert(got == expected, s"batch $id")
+    }
+    assert(out.select("created_ts").distinct().as[Timestamp].collect().toSeq == Seq(created))
+  }
+
+  test("watermarked windowed agg equals the batch tumbling agg once complete") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val agged = StreamIngest.windowedAgg(mem.toDF(), Seq("conv_id"), "ts",
+      windowSec = 3600L, watermarkSec = 60L,
+      aggs = Seq(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("sum_len")))
+    val q = agged.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    mem.addData(turns)
+    q.processAllAvailable()
+    // advance the watermark far past every event so all windows finalize
+    val flush = turns.head.copy(conv_id = "conv_flush",
+      ts = new Timestamp(turns.map(_.ts.getTime).max + 7 * 24 * 3600 * 1000L))
+    mem.addData(Seq(flush))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("winagg")
+      .filter(col("conv_id") =!= "conv_flush")
+      .select("conv_id", "win_start", "n_turns", "sum_len")
+    val batch = graft.agg.Aggregations.tumbling(
+      spark.createDataset(turns).toDF().withColumn("text_len", length(col("text"))),
+      Seq("conv_id"), "ts", 3600L,
+      Seq(Aggregation("text_len", "count", alias = Some("n_turns")),
+        Aggregation("text_len", "sum", alias = Some("sum_len"))))
+      .select("conv_id", "win_start", "n_turns", "sum_len")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed windows must equal batch tumbling agg")
+  }
+
+  test("streaming session_window splits on the inactivity gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val sess = StreamIngest.sessionAgg(mem.toDF(), Seq("conv_id"), "ts",
+      gapSec = 1800L, watermarkSec = 60L)
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    mem.addData(turns)
+    val flush = turns.head.copy(conv_id = "conv_flush",
+      ts = new Timestamp(turns.map(_.ts.getTime).max + 7 * 24 * 3600 * 1000L))
+    mem.addData(Seq(flush))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch dual: sessionize counts per (conv, session)
+    val batchSessions = graft.feat.TranscriptFeatures
+      .sessionize(spark.createDataset(turns).toDF(), 1800L)
+      .groupBy("conv_id", "session_id").agg(count(lit(1)).as("n_turns"))
+      .select("conv_id", "n_turns")
+    val streamed = spark.table("sess")
+      .filter(col("conv_id") =!= "conv_flush")
+      .select("conv_id", "n_turns")
+    // session multiset per conv must match (ids differ, sizes must not)
+    assert(streamed.except(batchSessions).isEmpty &&
+      batchSessions.except(streamed).isEmpty,
+      "streaming sessions must match batch sessionization")
+    // fixture guarantees >1 session somewhere (gaps injected every ~12 turns)
+    assert(spark.table("sess").filter(col("conv_id") =!= "conv_flush")
+      .groupBy("conv_id").count().filter(col("count") > 1).count() > 0)
+  }
+}
