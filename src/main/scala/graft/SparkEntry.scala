@@ -161,6 +161,58 @@ object SparkEntry {
     "feat_sessionize" -> ((s, dir) =>
       TranscriptFeatures.sessionize(Transcripts.fromEvents(s, dir), 1800L)),
 
+    // ------------------------------------------------- training-data pipeline
+    // Exact dedup by content hash over the documents corpus.
+    "dedup_exact" -> ((s, dir) =>
+      text.Dedup.exactDuplicates(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
+    // Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      text.Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.8)),
+    // MinHash+LSH near-dup pairs with exact verification — with 64 hashes /
+    // 16 bands the 0.8-Jaccard miss probability is ~3e-5, so the output
+    // matches the exact oracle.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      text.Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.8)),
+    // SimHash Hamming-≤3 pairs (no portable SQL oracle: xxhash64-based —
+    // rows-only driver check; DedupSpec verifies semantics).
+    "dedup_simhash" -> ((s, dir) =>
+      text.Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxHamming = 3)),
+    "text_language_id" -> ((s, dir) =>
+      text.TextAnalysis.languageId(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
+    "text_tokens" -> ((s, dir) =>
+      text.TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
+    "text_quality" -> ((s, dir) =>
+      text.TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
+    "text_fingerprint" -> ((s, dir) =>
+      text.TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
+    // Exact brute-force cosine top-5 for every 50th vector as query.
+    "ann_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      sim.Ann.bruteForceTopK(
+        e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5)
+    }),
+    // Sign-LSH bucketed ANN (approximate — rows-only check; AnnSpec
+    // measures recall vs brute force).
+    "ann_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      sim.Ann.lshTopK(
+        e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5)
+    }),
+
     // ----------------------------------------------------------- monitoring
     "stats_value" -> ((s, dir) =>
       Profile.numericStats(s.read.parquet(s"$dir/events.parquet"), "value")),
@@ -200,6 +252,29 @@ object SparkEntry {
        |SELECT e.conv_id, e.event_ts, e.label, j.turn_idx, j.role, j.text_len, j.is_tool, j.turn_ts
        |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
        |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin)
+
+  /** Marker-occurrence score: Σ (len(p) − len(replace(p, m))) / len(m) —
+    * the same length/replace identity TextAnalysis.occurrences uses.
+    */
+  private def langScoreSql(lang: String, markers: Seq[String]): String =
+    markers.map { m =>
+      s"(length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', '$m', ''))) // ${m.length}"
+    }.mkString("(", " + ", ")")
+
+  /** Exact word-3-gram Jaccard ≥ 0.8 pairs — shared by the exact inverted-
+    * index query and the MinHash+LSH query (whose miss probability at the
+    * threshold is ~3e-5, i.e. exact on this data).
+    */
+  private val ngramPairsOracle = withTables(
+    """, tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM idx),
+      |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT p.a, p.b, round(inter * 1.0 / (na.ns + nb.ns - inter), 6) AS jaccard
+      |FROM p JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+      |WHERE round(inter * 1.0 / (na.ns + nb.ns - inter), 6) >= 0.8""".stripMargin)
 
   def oracleSql: Map[String, String] = Map(
     "pit_latest_turn" -> pitLatestTurnOracle,
@@ -384,6 +459,75 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY conv_id, session_id ORDER BY turn_idx) AS INT)
         |    AS turn_in_session
         |FROM sess""".stripMargin),
+
+    "dedup_exact" -> withTables(
+      """, h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |g AS (SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS c
+        |      FROM h GROUP BY 1)
+        |SELECT h.doc_id, g.canonical_id, h.content_hash
+        |FROM h JOIN g USING (content_hash) WHERE g.c > 1""".stripMargin),
+    "dedup_ngram_pairs" -> ngramPairsOracle,
+    "dedup_minhash_lsh" -> ngramPairsOracle,
+    "text_language_id" -> withTables(
+      s""", sc AS (SELECT doc_id,
+         |  ${langScoreSql("de", Seq(" der ", " die ", " und "))} AS sde,
+         |  ${langScoreSql("en", Seq(" the ", " and ", " of "))} AS sen,
+         |  ${langScoreSql("es", Seq(" el ", " los ", " y "))} AS ses,
+         |  ${langScoreSql("fr", Seq(" le ", " la ", " et "))} AS sfr,
+         |  ${langScoreSql("zh", Seq("的", "是", "了"))} AS szh
+         |  FROM documents),
+         |m AS (SELECT doc_id, sde, sen, ses, sfr, szh,
+         |  greatest(sde, sen, ses, sfr, szh) AS mx FROM sc)
+         |SELECT doc_id,
+         |  CASE WHEN mx = 0 THEN 'und'
+         |       WHEN sde = mx THEN 'de' WHEN sen = mx THEN 'en'
+         |       WHEN ses = mx THEN 'es' WHEN sfr = mx THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred,
+         |  CAST(mx AS INT) AS lang_score FROM m""".stripMargin),
+    "text_tokens" -> withTables(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, ' +')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents""".stripMargin),
+    "text_quality" -> withTables(
+      """, b AS (SELECT doc_id, text,
+        |    length(text) AS nc,
+        |    len(string_split_regex(text, ' +')) AS nt,
+        |    len(regexp_extract_all(text, '[.,;:!?]')) AS np,
+        |    ((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) // 5
+        |     + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' a ', ''))) // 3
+        |     + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' and ', ''))) // 5
+        |     + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' of ', ''))) // 4
+        |     + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' to ', ''))) // 4) AS nstop
+        |  FROM documents),
+        |r AS (SELECT doc_id, nc, nt,
+        |    round(np * 1.0 / greatest(nc, 1), 6) AS punct_ratio,
+        |    round(nstop * 1.0 / greatest(nt, 1), 6) AS stopword_ratio,
+        |    round((nc - (nt - 1)) * 1.0 / greatest(nt, 1), 6) AS mean_token_len
+        |  FROM b)
+        |SELECT doc_id, CAST(nc AS INT) AS n_chars, CAST(nt AS INT) AS n_tokens,
+        |  punct_ratio, stopword_ratio, mean_token_len,
+        |  round(((CASE WHEN nc BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+        |FROM r""".stripMargin),
+    "text_fingerprint" -> withTables(
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin),
+    "ann_topk" -> withTables(
+      """, q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS sim
+        |      FROM q CROSS JOIN c WHERE q_id != c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rn
+        |      FROM s)
+        |SELECT q_id, c_id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+        |FROM r WHERE rn <= 5""".stripMargin),
 
     "stats_value" -> withTables(
       """SELECT count(*) AS n_rows, count(value) AS n_nonnull,

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack for training-data pipelines: language-ID (marker-word
+  * heuristic), quality scoring (length/punct/stopword ratios), token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting
+  * (normalized content hash). All pure Catalyst expressions (codegen'd,
+  * no UDFs), each a single map-side pass — no shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Occurrences of `needle` in `text` via the length/replace identity —
+    * portable to any SQL engine (the oracle uses the same formula).
+    */
+  private def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("int")
+
+  /** Marker words per language (public stopword lists, top distinctive
+    * function words). Padded with spaces so only whole words count.
+    */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "es" -> Seq(" el ", " los ", " y "),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** N-gram/marker language-ID heuristic: score = marker hits per language;
+    * prediction = argmax with deterministic alphabetical tie-break
+    * ("en" < "es" < ... wins ties via strict `>` scan). Output
+    * (id, lang_pred, lang_score).
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val scores: Seq[(String, Column)] = LanguageMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
+    }
+    val best = scores.sortBy(_._1).foldLeft[(Column, Column)]((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    df.select(col(idCol), best._1.as("lang_pred"), best._2.as("lang_score"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish subword units (runs of
+    * letters, runs of digits, single other non-space chars — the shape a
+    * byte-pair pre-tokenizer produces). Output (id, n_ws_tokens,
+    * n_bpe_tokens, n_chars).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(col(textCol), " +")).as("n_ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).as("n_bpe_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Quality score per document: length, punctuation ratio, stopword ratio,
+    * mean token length, and a composite quality in [0, 1] (long-enough,
+    * low-punct, some stopwords — the classic pretraining-filter features).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val nTok = size(split(t, " +"))
+    val nPunct = regexp_count(t, lit("[.,;:!?]"))
+    val nStop = Seq(" the ", " a ", " and ", " of ", " to ")
+      .map(m => occurrences(padded, m)).reduce(_ + _)
+    val punctRatio = round(nPunct / greatest(length(t), lit(1)).cast("double"), 6)
+    val stopRatio = round(nStop / greatest(nTok, lit(1)).cast("double"), 6)
+    val meanTokLen = round(
+      (length(t) - (nTok - 1)) / greatest(nTok, lit(1)).cast("double"), 6)
+    val lengthOk = when(length(t).between(50, 10000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio <= 0.1, 1.0).otherwise(0.0)
+    val stopOk = when(stopRatio >= 0.01, 1.0).otherwise(0.0)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"),
+      round((lengthOk + punctOk + stopOk) / 3.0, 6).as("quality"))
+  }
+
+  /** Deterministic document fingerprint: md5 of the normalized content
+    * (lower-cased, punctuation stripped, whitespace collapsed) — the
+    * canonical key for fuzzy-exact dedup across formatting variants.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      md5(trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
+        " +", " "))).as("fingerprint"))
+}

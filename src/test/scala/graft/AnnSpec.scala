@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Ann
+
+/** ANN semantics: brute-force top-k vs a Scala oracle; LSH recall and
+  * candidate reduction on clustered embeddings.
+  */
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 64
+  private val nClusters = 10
+  private val perCluster = 30
+
+  /** Deterministic clustered embeddings: center per cluster + small noise. */
+  private val vectors: Seq[(Long, Array[Float])] = {
+    (0 until nClusters).flatMap { c =>
+      val rc = new scala.util.Random(1000L + c)
+      val center = Array.fill(dim)(rc.nextGaussian())
+      (0 until perCluster).map { j =>
+        val rv = new scala.util.Random(c * 1000L + j)
+        val v = center.map(x => (x + 0.15 * rv.nextGaussian()).toFloat)
+        (c.toLong * perCluster + j, v)
+      }
+    }
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val corpus = vectors.toDF("c_id", "c_vec")
+  private val queryIds = vectors.map(_._1).filter(_ % 15 == 0)
+  private val queries = vectors.filter(v => queryIds.contains(v._1)).toDF("q_id", "q_vec")
+
+  /** Scala brute-force oracle: top-k neighbor ids per query. */
+  private val oracleTopK: Map[Long, Seq[Long]] = {
+    val byId = vectors.toMap
+    queryIds.map { q =>
+      q -> vectors.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).map(_._1)
+    }.toMap
+  }
+
+  test("brute-force top-k matches the Scala oracle exactly, in rank order") {
+    val out = Ann.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "c_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(out == oracleTopK)
+    // clustered data ⇒ neighbors come from the query's own cluster
+    oracleTopK.foreach { case (q, ns) =>
+      assert(ns.forall(n => n / perCluster == q / perCluster), s"query $q")
+    }
+  }
+
+  test("LSH top-k: high recall at a fraction of the comparisons") {
+    val lsh = Ann.lshTopK(queries, corpus, k = 5, tables = 8, bits = 8, dim = dim)
+      .select("q_id", "c_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = oracleTopK.toSeq.map { case (q, ns) =>
+      ns.count(lsh.getOrElse(q, Set.empty)).toDouble / ns.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.8, f"recall@5 = $recall%.2f too low")
+  }
+
+  test("cosine expression matches the Scala computation") {
+    val pairs = queries.limit(2).crossJoin(corpus.limit(3))
+    val got = pairs.select(col("q_id"), col("c_id"),
+      Ann.cosine(col("q_vec").cast("array<double>"), col("c_vec").cast("array<double>")).as("sim"))
+      .as[(Long, Long, Double)].collect()
+    val byId = vectors.toMap
+    got.foreach { case (q, c, s) =>
+      assert(math.abs(s - cos(byId(q), byId(c))) < 1e-12, s"($q,$c)")
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextAnalysis}
+
+/** Dedup + text-analysis semantics on handmade fixtures with known
+  * duplicate structure, cross-checked against a brute-force Scala oracle.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = // one word changed → high but < 1.0 jaccard
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm rug near the door"
+  private val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, nearDup), // near dup of 0/1
+    (3L, "completely different content about spark shuffles and partition pruning at scale"),
+    (4L, "yet another unrelated document mentioning catalyst expressions and codegen stages"),
+    (5L, base) // second exact dup of 0
+  ).toDF("doc_id", "text")
+
+  /** Brute-force word-n-gram jaccard. */
+  private def jaccard(a: String, b: String, n: Int): Double = {
+    def sh(s: String) = s.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    val (x, y) = (sh(a), sh(b))
+    x.intersect(y).size.toDouble / x.union(y).size
+  }
+
+  test("exact dedup finds the identical group with min-id canonical") {
+    val out = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 5L))
+    assert(out.forall(_.getLong(1) == 0L), "canonical must be min doc_id")
+  }
+
+  test("ngram jaccard pairs match the brute-force oracle") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // expected: all pairs among {0,1,5} (j=1.0) and each with 2 (j≈…)
+    val expected = (for {
+      a <- 0L to 5L; b <- (a + 1) to 5L
+      j = jaccard(docs.collect()(a.toInt).getString(1), docs.collect()(b.toInt).getString(1), 3)
+      if j >= 0.5
+    } yield (a, b) -> (math.round(j * 1e6) / 1e6)).toMap
+    assert(out.keySet == expected.keySet, s"got ${out.keySet} want ${expected.keySet}")
+    out.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-6, s"$k") }
+    assert(out.contains((0L, 2L)) && out((0L, 2L)) < 1.0, "near-dup must be found, < 1.0")
+  }
+
+  test("minhash LSH pairs equal the exact pairs at threshold") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5)
+    assert(lsh.except(exact).isEmpty && exact.except(lsh).isEmpty,
+      "LSH+verify must reproduce the exact pair set on near-dup data")
+  }
+
+  test("simhash: exact dups at distance 0; near dup closer than unrelated") {
+    val sig = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(ham(0L, 1L) == 0 && ham(0L, 5L) == 0, "exact dups: hamming 0")
+    assert(ham(0L, 2L) < ham(0L, 3L) && ham(0L, 2L) < ham(0L, 4L),
+      s"near dup (${ham(0L, 2L)}) must be closer than unrelated (${ham(0L, 3L)}, ${ham(0L, 4L)})")
+    // banded pair join at the near-dup's distance finds it and the exact dups
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = ham(0L, 2L))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(Set((0L, 1L), (0L, 5L), (1L, 5L), (0L, 2L)).subsetOf(pairs))
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not match")
+  }
+
+  test("language id picks the marker language; und when no markers") {
+    val multi = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat et la maison et le chien"),
+      (3L, "der hund und die katze und der baum"),
+      (4L, "el perro y los gatos y el sol"),
+      (5L, "这是一个测试了"),
+      (6L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(multi, "doc_id", "text")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("token counts and fingerprint invariants") {
+    val t = Seq((1L, "Hello, world! 42 times"), (2L, "hello world 42 times"),
+      (3L, "HELLO,   world!! 42 times")).toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCounts(t, "doc_id", "text")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(tc(1L) == ((4, 6, 22))) // ws: 4; bpe: Hello , world ! 42 times
+    val fp = TextAnalysis.fingerprint(t, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(2L) == fp(3L),
+      "fingerprint must be invariant to case/punct/extra spaces")
+  }
+}
