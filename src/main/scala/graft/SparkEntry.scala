@@ -113,6 +113,54 @@ object SparkEntry {
       Historical.nonEntityRetrieval(
         Seq(convQualityView(s, dir)),
         java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))),
+    // Chained two-hop as-of join (J10; oracle shape feature_records.py:
+    // 124-148 order→location): hop 1 finds the latest tool used in the
+    // conversation, hop 2 as-of joins tool stats keyed by that tool.
+    "pit_chained" -> ((s, dir) => {
+      val toolTurns = Transcripts.fromEvents(s, dir)
+        .filter(col("tool").isNotNull)
+        .select(col("conv_id"), col("ts"), col("tool"), col("turn_idx"))
+      val hop1 = Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(FeatureView("last_tool", toolTurns, Seq("conv_id"), "ts", None, 0L,
+          features = Seq("tool"), tieBreakCols = Seq("turn_idx"))))
+      val toolStats = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("tool"), col("ts"),
+          col("value").as("tool_score"), col("event_id"))
+      Historical.getHistoricalFeatures(hop1,
+        Seq(FeatureView("tool_stats", toolStats, Seq("tool"), "ts", None, 0L,
+          features = Seq("tool_score"), tieBreakCols = Seq("event_id"))))
+    }),
+    // ODFV-style post-retrieval row-level transform (U1/U3;
+    // on_demand_feature_view.py:1023 applied post-join).
+    "odfv_transform" -> ((s, dir) =>
+      Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(turnStatsView(s, dir, ttlSec = 4 * 3600L)
+          .copy(features = Seq("turn_idx", "text_len"))),
+        transform = Some(df => df
+          .withColumn("long_turn", col("text_len") >= 60)
+          .withColumn("idx_sq", col("turn_idx") * col("turn_idx"))))),
+    // SQL-mode view transform (U4; transformation/spark_transformation.py:
+    // 11-120 SPARK_SQL mode): the view source is a spark.sql query over a
+    // temp view of the raw transcript.
+    "sql_transform" -> ((s, dir) => {
+      Transcripts.fromEvents(s, dir).createOrReplaceTempView("transcript_v")
+      val src = s.sql(
+        "SELECT conv_id, ts, turn_idx, length(text) AS text_len " +
+          "FROM transcript_v WHERE role = 'assistant'")
+      Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(FeatureView("asst_stats", src, Seq("conv_id"), "ts", None, 0L,
+          features = Seq("turn_idx", "text_len"), tieBreakCols = Seq("turn_idx"))))
+    }),
+    // start/end-date bounded retrieval (P4; offline_utils.py:344-433).
+    "pit_date_bounded" -> ((s, dir) =>
+      Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(turnStatsView(s, dir, ttlSec = 0L).copy(features = Seq("turn_idx", "role"))),
+        startDate = Some(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")),
+        endDate = Some(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))),
 
     // ---------------------------------------------------------- aggregation
     // A2: grouped aggregation, full reference function set.
@@ -362,6 +410,64 @@ object SparkEntry {
          |  FROM conv_quality q WHERE q.ts <= TIMESTAMP '2024-01-15 00:00:00')
          |SELECT u.conv_id, TIMESTAMP '2024-01-15 00:00:00' AS event_ts, j.score
          |FROM u LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.conv_id = u.conv_id""".stripMargin),
+
+    "pit_chained" -> withTables(
+      s""", toolturn AS (SELECT conv_id, ts, tool, turn_idx FROM transcript WHERE tool IS NOT NULL),
+         |h1 AS (
+         |  SELECT e.conv_id, e.event_ts, t.tool,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN toolturn t ON t.conv_id = e.conv_id AND t.ts <= e.event_ts),
+         |e1 AS (SELECT e.conv_id, e.event_ts, e.label, h1.tool
+         |  FROM entity e LEFT JOIN (SELECT * FROM h1 WHERE rn = 1) h1
+         |    ON h1.conv_id = e.conv_id AND h1.event_ts = e.event_ts),
+         |ts2 AS (SELECT event_type AS tool, ts, value AS tool_score, event_id FROM events),
+         |h2 AS (
+         |  SELECT e.tool, e.event_ts, s.tool_score,
+         |    row_number() OVER (PARTITION BY e.tool, e.event_ts
+         |                       ORDER BY s.ts DESC, s.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT tool, event_ts FROM e1 WHERE tool IS NOT NULL) e
+         |  JOIN ts2 s ON s.tool = e.tool AND s.ts <= e.event_ts)
+         |SELECT e1.conv_id, e1.event_ts, e1.label, e1.tool, h2.tool_score
+         |FROM e1 LEFT JOIN (SELECT * FROM h2 WHERE rn = 1) h2
+         |  ON h2.tool = e1.tool AND h2.event_ts = e1.event_ts""".stripMargin),
+    "odfv_transform" -> withTables(
+      s""", j AS (
+         |  SELECT e.conv_id, e.event_ts, f.turn_idx, length(f.text) AS text_len,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN transcript f ON f.conv_id = e.conv_id
+         |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR)
+         |SELECT e.conv_id, e.event_ts, e.label, j.turn_idx, j.text_len,
+         |  j.text_len >= 60 AS long_turn, j.turn_idx * j.turn_idx AS idx_sq
+         |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
+    "sql_transform" -> withTables(
+      s""", src AS (SELECT conv_id, ts, turn_idx, length(text) AS text_len
+         |          FROM transcript WHERE role = 'assistant'),
+         |j AS (
+         |  SELECT e.conv_id, e.event_ts, f.turn_idx, f.text_len,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN src f ON f.conv_id = e.conv_id AND f.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label, j.turn_idx, j.text_len
+         |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
+    "pit_date_bounded" -> withTables(
+      s""", j AS (
+         |  SELECT e.conv_id, e.event_ts, f.turn_idx, f.role,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN transcript f ON f.conv_id = e.conv_id AND f.ts <= e.event_ts
+         |   AND f.ts >= TIMESTAMP '2024-01-08 00:00:00'
+         |   AND f.ts <= TIMESTAMP '2024-01-22 00:00:00')
+         |SELECT e.conv_id, e.event_ts, e.label, j.turn_idx, j.role
+         |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
 
     "agg_grouped" -> withTables(
       """SELECT conv_id,

@@ -25,7 +25,9 @@ object Historical {
       entityTsCol: String = "event_ts",
       fullFeatureNames: Boolean = false,
       filterByCreatedTs: Boolean = false,
-      transform: Option[DataFrame => DataFrame] = None
+      transform: Option[DataFrame => DataFrame] = None,
+      startDate: Option[java.sql.Timestamp] = None,
+      endDate: Option[java.sql.Timestamp] = None
   ): DataFrame = {
     require(views.nonEmpty, "at least one feature view required")
     // Collision check mirroring utils.py:562: duplicate feature names across
@@ -36,7 +38,19 @@ object Historical {
       require(dups.isEmpty,
         s"duplicate feature names across views: ${dups.mkString(",")}; use fullFeatureNames")
     }
-    val out = views.foldLeft(entityDf) { (acc, v) =>
+    // P4: optional start/end bounds on every source scan (reference
+    // get_historical_features(start_date, end_date), feature_store.py:1942;
+    // filter sql offline_utils.py:344-433) — pushed to the parquet/Iceberg
+    // scan by Catalyst.
+    val bounded =
+      if (startDate.isEmpty && endDate.isEmpty) views
+      else views.map { v =>
+        var src = v.source
+        startDate.foreach(s => src = src.filter(col(v.tsCol) >= lit(s)))
+        endDate.foreach(e => src = src.filter(col(v.tsCol) <= lit(e)))
+        v.copy(source = src)
+      }
+    val out = bounded.foldLeft(entityDf) { (acc, v) =>
       PointInTimeJoin.enrich(acc, v, entityTsCol, fullFeatureNames, filterByCreatedTs)
     }
     transform.map(_(out)).getOrElse(out)
