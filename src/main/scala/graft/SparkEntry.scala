@@ -261,6 +261,22 @@ object SparkEntry {
         k = 5)
     }),
 
+    // Multimodal plumbing over a binary payload column (docs text encoded
+    // to bytes stands in for image blobs; decode is stubbed — see
+    // graft.multimodal.Multimodal).
+    "mm_meta" -> ((s, dir) =>
+      multimodal.Multimodal.extractMeta(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media")),
+    // Stub featurization (rows-only check: hash-derived pseudo-embeddings
+    // have no SQL oracle; MultimodalSpec covers semantics).
+    "mm_featurize" -> ((s, dir) =>
+      multimodal.Multimodal.featurizeTable(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media")),
+
     // ----------------------------------------------------------- monitoring
     "stats_value" -> ((s, dir) =>
       Profile.numericStats(s.read.parquet(s"$dir/events.parquet"), "value")),
@@ -634,6 +650,10 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, c_id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
         |FROM r WHERE rn <= 5""".stripMargin),
+
+    "mm_meta" -> withTables(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'unknown' AS format FROM documents""".stripMargin),
 
     "stats_value" -> withTables(
       """SELECT count(*) AS n_rows, count(value) AS n_nonnull,

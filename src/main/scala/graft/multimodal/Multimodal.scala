@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata; decode / feature-extract /
+  * frame-sample run as distributed column programs or batched
+  * `mapPartitions` decoders.
+  *
+  * **The decode step is STUBBED**: this sandbox has no codec libraries, so
+  * [[stubFeaturize]] derives a deterministic pseudo-embedding from the raw
+  * bytes (pure Catalyst, codegen'd) and [[featurizeWithDecoder]] shows the
+  * batched integration point where a real JNI/Java codec would plug in. The
+  * Spark-side contract — schema, batch shape, partitioning, null handling —
+  * is real and tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  val EmbedDim = 64
+
+  /** Typed metadata extracted from the binary payload: byte size and a
+    * format guess from the magic bytes (the real-world header sniff; here
+    * the recognizable prefixes are the standard magics).
+    */
+  def extractMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val magic = hex(substring(b, 1, 4))
+    df.select(
+      col(idCol),
+      octet_length(b).as("n_bytes"),
+      when(magic.startsWith("FFD8"), "jpeg")
+        .when(magic.startsWith("89504E47"), "png")
+        .when(magic.startsWith("52494646"), "riff-wav")
+        .otherwise("unknown").as("format"))
+  }
+
+  /** STUB decoder output: a deterministic pseudo-embedding in [-1, 1]^dim
+    * from xxhash64 of (bytes, lane). Stands in for "decode image → CNN
+    * features"; replace with a real decoder via [[featurizeWithDecoder]].
+    * Pure Catalyst — whole-stage codegen, no serialization boundary.
+    */
+  def stubFeaturize(bin: Column, dim: Int = EmbedDim): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(bin, i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+        .cast("float"))
+
+  /** (id, embedding array<float>) for every non-null payload. */
+  def featurizeTable(df: DataFrame, idCol: String, binCol: String,
+                     dim: Int = EmbedDim): DataFrame =
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol), stubFeaturize(col(binCol), dim).as("embedding"))
+
+  /** Frame sampling for video-like payloads: `n` evenly spaced byte windows
+    * of `frameBytes` each (STUB for keyframe extraction). Output one row per
+    * (id, frame_idx, frame) — the downstream shape a frame-level featurizer
+    * consumes.
+    */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+                  n: Int, frameBytes: Int): DataFrame = {
+    val len = octet_length(col(binCol))
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), lit(n - 1)), i =>
+          struct(i.cast("int").as("frame_idx"),
+            substring_index_bytes(col(binCol), len, i, n, frameBytes).as("frame")))).as("f"))
+      .select(col(idCol), col("f.frame_idx"), col("f.frame"))
+  }
+
+  /** Byte window i of n: substring on binary, offset spread over the blob. */
+  private def substring_index_bytes(b: Column, len: Column, i: Column,
+                                    n: Int, frameBytes: Int): Column = {
+    val off = (i * greatest(len - frameBytes, lit(0)) / math.max(n - 1, 1)).cast("int") + 1
+    substring(b, off, lit(frameBytes))
+  }
+
+  /** The batched-decoder integration point: a real codec (`Array[Byte] =>
+    * Array[Float]`) runs per partition — one decoder instance per task, rows
+    * streamed through it, no driver involvement. This is the Scala analog of
+    * the reference's executor-side `mapInArrow` write path
+    * (infra/compute_engines/spark/utils.py:128-175).
+    */
+  def featurizeWithDecoder(
+      df: DataFrame, idCol: String, binCol: String,
+      decoder: Array[Byte] => Array[Float]
+  ): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.product[Embedding])
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      // per-partition decoder init would go here (load model / codec once)
+      rows.map { case (id, bytes) => (id, Embedding(decoder(bytes))) }
+    }(enc).toDF(idCol, "emb").select(col(idCol), col("emb.values").as("embedding"))
+  }
+
+  case class Embedding(values: Array[Float])
+}
