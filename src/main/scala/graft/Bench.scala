@@ -60,26 +60,25 @@ object Bench {
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "60000").toLong
     val scalePath = s"/tmp/graft_bench_scale_$scaleConvs"
 
-    // ---- warm-up + scale-input generation at local[cpus] ----
+    // ---- phase 1: headline query timings at local[cpus] (before the
+    // scale-table generation so its heap/GC pressure can't inflate them) ----
     var spark = session(cpus)
-    SparkEntry.queries("pit_latest_turn")(spark, sfDir).count()
-    if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
-      Transcripts.syntheticDistributed(spark, scaleConvs, turnsPerConv = 60)
-        .write.mode("overwrite").parquet(scalePath)
-    val turns = spark.read.parquet(scalePath).count()
-    retrieval(spark, scalePath).count() // warm the scaling plan too
-
-    // ---- phase 2a: scaling workload at 4N cores (min of 3 — isolates the
-    // steady-state plan cost from JVM/GC noise) ----
-    val sec4N = (1 to 3).map(_ => timeSec(retrieval(spark, scalePath).count())).min
-
-    // ---- phase 1: headline query timings at local[cpus] ----
+    SparkEntry.queries("pit_latest_turn")(spark, sfDir).count() // warm-up
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeSec {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
     }
+
+    // ---- scale-input generation + phase 2a: scaling workload at 4N cores
+    // (min of 3 — isolates steady-state plan cost from JVM/GC noise) ----
+    if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
+      Transcripts.syntheticDistributed(spark, scaleConvs, turnsPerConv = 60)
+        .write.mode("overwrite").parquet(scalePath)
+    val turns = spark.read.parquet(scalePath).count()
+    retrieval(spark, scalePath).count() // warm the scaling plan
+    val sec4N = (1 to 3).map(_ => timeSec(retrieval(spark, scalePath).count())).min
     spark.stop()
 
     // ---- phase 2b: same workload, same input, N cores ----

@@ -43,6 +43,13 @@ case class EntityRow(conv_id: String, event_ts: Timestamp)
   *                      row_number pick is nondeterministic on full ties
   *                      (spark.py:1837-1840); we pin it down for golden
   *                      comparability.
+  * @param datePartitionCol physical date-partition column of the source
+  *                      (reference date_partition_column, data_source.py:179;
+  *                      spark.py:90-93,310-327): when set, the PIT join adds
+  *                      redundant partition predicates derived from the
+  *                      entity time range + TTL so the scan prunes whole
+  *                      partitions (P6)
+  * @param datePartitionFormat strftime-style format of that column
   */
 case class FeatureView(
     name: String,
@@ -53,13 +60,15 @@ case class FeatureView(
     ttlSeconds: Long = 0L,
     features: Seq[String] = Nil,
     fieldMapping: Map[String, String] = Map.empty,
-    tieBreakCols: Seq[String] = Nil
+    tieBreakCols: Seq[String] = Nil,
+    datePartitionCol: Option[String] = None,
+    datePartitionFormat: String = "yyyy-MM-dd"
 ) {
   /** Resolved feature columns (post field-mapping source). */
   def resolvedFeatures: Seq[String] =
     if (features.nonEmpty) features
     else {
-      val excluded = (joinKeys :+ tsCol) ++ createdTsCol.toSeq
+      val excluded = (joinKeys :+ tsCol) ++ createdTsCol.toSeq ++ datePartitionCol.toSeq
       source.columns.toSeq
         .map(c => fieldMapping.getOrElse(c, c))
         .filterNot(excluded.contains)

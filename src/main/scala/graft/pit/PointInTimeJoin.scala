@@ -64,7 +64,8 @@ object PointInTimeJoin {
       case (df, (src, dst)) => df.withColumnRenamed(src, dst)
     }
     val neededCols =
-      (keys :+ view.tsCol) ++ view.createdTsCol.toSeq ++ feats ++ view.tieBreakCols
+      (keys :+ view.tsCol) ++ view.createdTsCol.toSeq ++ feats ++
+        view.tieBreakCols ++ view.datePartitionCol.toSeq
     var src = mapped.select(neededCols.distinct.map(col): _*)
 
     // P4/P5: scan bounds from the entity frame — one tiny agg action whose
@@ -73,11 +74,24 @@ object PointInTimeJoin {
     val bounds: Row = entityDf
       .agg(min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx"))
       .head()
+    val lowerTs =
+      if (view.ttlSeconds > 0 && !bounds.isNullAt(0))
+        Some(lit(bounds.get(0)) - expr(s"INTERVAL ${view.ttlSeconds} SECONDS"))
+      else None
     if (!bounds.isNullAt(1))
       src = src.filter(col(view.tsCol) <= lit(bounds.get(1)))
-    if (view.ttlSeconds > 0 && !bounds.isNullAt(0))
-      src = src.filter(
-        col(view.tsCol) >= lit(bounds.get(0)) - expr(s"INTERVAL ${view.ttlSeconds} SECONDS"))
+    lowerTs.foreach(lo => src = src.filter(col(view.tsCol) >= lo))
+    // P6: redundant date-partition predicates derived from the same bounds —
+    // these hit the partition columns directly, so the file index prunes
+    // whole day-directories (Iceberg hidden partitioning would prune from
+    // the ts predicate alone; explicit `ds=` layouts need this).
+    view.datePartitionCol.foreach { dpc =>
+      if (!bounds.isNullAt(1))
+        src = src.filter(
+          col(dpc) <= date_format(lit(bounds.get(1)), view.datePartitionFormat))
+      lowerTs.foreach(lo =>
+        src = src.filter(col(dpc) >= date_format(lo, view.datePartitionFormat)))
+    }
 
     // J2: deduplicated probe side — one row per (keys, event_ts).
     val probeRaw = entityDf
