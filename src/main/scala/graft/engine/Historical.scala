@@ -56,6 +56,19 @@ object Historical {
     transform.map(_(out)).getOrElse(out)
   }
 
+  /** Typed entry point over the engine's core row types
+    * (BASELINE.json:input_hint "typed Dataset/DataFrame + Catalyst"):
+    * entity keys as `Dataset[EntityRow]`, transcript source as
+    * `Dataset[Turn]`.
+    */
+  def getHistoricalFeaturesTyped(
+      entities: org.apache.spark.sql.Dataset[graft.EntityRow],
+      views: Seq[FeatureView],
+      fullFeatureNames: Boolean = false
+  ): DataFrame =
+    getHistoricalFeatures(entities.toDF(), views,
+      fullFeatureNames = fullFeatureNames)
+
   /** Entityless ("global") view support: the reference joins such views via
     * a DUMMY_ENTITY literal (feature_view.py:95-108; spark.py:150). We add
     * the dummy key to both sides and delegate to the normal path.
