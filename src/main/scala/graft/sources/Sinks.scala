@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sink-side operators (SURVEY §2.1 S6–S9, §2.8 U7).
+  *
+  * The sandbox has no Iceberg runtime or online store; the parquet append /
+  * `foreachPartition` shapes below are the exact integration points where
+  * `writeTo(...).append()` and a Redis/SQL client would plug in.
+  */
+object Sinks {
+
+  /** S6: schema-aligned append (reference offline append sink,
+    * spark.py:357-407 + cast helper :1691-1706): columns are reordered and
+    * cast to the target schema; struct/map columns whose target is a string
+    * are JSON-serialized first (P11, offline_utils.py:305-333); extra
+    * columns are dropped; missing columns error.
+    */
+  def appendWithSchemaCast(df: DataFrame, target: StructType, path: String): Unit = {
+    val aligned = alignToSchema(df, target)
+    aligned.write.mode("append").parquet(path)
+  }
+
+  def alignToSchema(df: DataFrame, target: StructType): DataFrame = {
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = target.fields.map { f =>
+      val actual = byName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"missing column ${f.name} for sink schema"))
+      (actual, f.dataType) match {
+        case (_: StructType, StringType) => to_json(col(f.name)).as(f.name)
+        case (_: MapType, StringType)    => to_json(col(f.name)).as(f.name)
+        case (a, t) if a == t            => col(f.name)
+        case (_, t)                      => col(f.name).cast(t).as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** S7/U7: executor-side write path (reference `mapInArrow` + `.count()`
+    * to force, spark/utils.py:128-225): the writer runs once per partition
+    * with the partition's rows — the shape a batched online-store client
+    * needs (one connection per task, rows streamed through). Returns the
+    * number of rows written.
+    */
+  def foreachPartitionSink(df: DataFrame, writer: Iterator[Row] => Long): Long = {
+    val acc = df.sparkSession.sparkContext.longAccumulator("graft.sink.rows")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      acc.add(writer(rows))
+    }
+    acc.value
+  }
+
+  /** S8: remote-storage export (spark.py:1153-1201): write the result as
+    * parquet under a staging directory and return the data-file URIs — the
+    * hand-off contract for engines that ingest files.
+    */
+  def exportToStaging(df: DataFrame, stagingDir: String): Seq[String] = {
+    df.write.mode("overwrite").parquet(stagingDir)
+    df.sparkSession.read.parquet(stagingDir).inputFiles.toSeq.sorted
+  }
+
+  /** S9: persist a retrieval result as a saved dataset and read it back —
+    * the reference's SavedDataset storage round trip (saved_dataset.py:78;
+    * spark.py:1098-1148).
+    */
+  def saveDataset(df: DataFrame, path: String): Unit =
+    df.write.mode("errorifexists").parquet(path)
+
+  def loadDataset(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sinks
+
+object SinksSpec {
+  // cross-task sink target (local mode: executors share the JVM)
+  val written = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+class SinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val tmp = Files.createTempDirectory("graft-sinks").toString
+
+  test("append sink aligns, casts, and json-serializes structs") {
+    val df = Seq((1, 2L, "x")).toDF("a", "b", "c")
+      .withColumn("s", struct(lit(7).as("k")))
+      .withColumn("extra", lit(0))
+    val target = StructType(Seq(
+      StructField("a", LongType), // int → long cast
+      StructField("b", LongType),
+      StructField("c", StringType),
+      StructField("s", StringType))) // struct → json string
+    Sinks.appendWithSchemaCast(df, target, s"$tmp/append")
+    Sinks.appendWithSchemaCast(df, target, s"$tmp/append") // append twice
+    val back = spark.read.parquet(s"$tmp/append")
+    assert(back.schema == target)
+    assert(back.count() == 2)
+    assert(back.select("s").as[String].head() == """{"k":7}""")
+    intercept[IllegalArgumentException] {
+      Sinks.alignToSchema(df.drop("b"), target)
+    }
+  }
+
+  test("foreachPartition sink streams every row through the writer") {
+    SinksSpec.written.clear()
+    val df = Transcripts.synthetic(spark, nConvs = 5, turnsPerConv = 8, seed = 2L)
+      .select("conv_id", "turn_idx")
+    val n = Sinks.foreachPartitionSink(df, { rows =>
+      var c = 0L
+      rows.foreach { r =>
+        SinksSpec.written.add(s"${r.getString(0)}#${r.getInt(1)}"); c += 1
+      }
+      c
+    })
+    assert(n == 40 && SinksSpec.written.size() == 40)
+    assert(SinksSpec.written.contains("conv_000003#7"))
+  }
+
+  test("staging export returns the written parquet file URIs") {
+    val files = Sinks.exportToStaging(
+      Seq((1, "a"), (2, "b")).toDF("id", "v").repartition(2), s"$tmp/staging")
+    assert(files.size == 2 && files.forall(_.endsWith(".parquet")))
+  }
+
+  test("saved dataset round-trips and refuses overwrite") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Sinks.saveDataset(df, s"$tmp/saved")
+    val back = Sinks.loadDataset(spark, s"$tmp/saved")
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    intercept[Exception](Sinks.saveDataset(df, s"$tmp/saved"))
+  }
+}
