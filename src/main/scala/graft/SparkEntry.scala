@@ -113,6 +113,22 @@ object SparkEntry {
       Historical.nonEntityRetrieval(
         Seq(convQualityView(s, dir)),
         java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))),
+    // FeatureService with projections: join-key map binds views to an
+    // entity frame with differently-named keys; feature subset + view alias
+    // (feature_view_projection.py:17; dask.py:1053-1056).
+    "service_projection" -> ((s, dir) => {
+      val entity = Transcripts.entityFrame(s, dir)
+        .withColumnRenamed("conv_id", "conversation")
+      Historical.getHistoricalFeaturesService(entity,
+        FeatureService("svc", Seq(
+          Projection(turnStatsView(s, dir, ttlSec = 4 * 3600L),
+            features = Seq("turn_idx"),
+            joinKeyMap = Map("conv_id" -> "conversation"),
+            nameAlias = Some("ts_view")),
+          Projection(convQualityView(s, dir),
+            joinKeyMap = Map("conv_id" -> "conversation")))),
+        fullFeatureNames = true)
+    }),
     // Chained two-hop as-of join (J10; oracle shape feature_records.py:
     // 124-148 order→location): hop 1 finds the latest tool used in the
     // conversation, hop 2 as-of joins tool stats keyed by that tool.
@@ -427,6 +443,28 @@ object SparkEntry {
          |SELECT u.conv_id, TIMESTAMP '2024-01-15 00:00:00' AS event_ts, j.score
          |FROM u LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.conv_id = u.conv_id""".stripMargin),
 
+    "service_projection" -> withTables(
+      s""", j1 AS (
+         |  SELECT e.conv_id, e.event_ts, f.turn_idx,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN transcript f ON f.conv_id = e.conv_id
+         |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR),
+         |j2 AS (
+         |  SELECT e.conv_id, e.event_ts, q.score,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN conv_quality q ON q.conv_id = e.conv_id AND q.ts <= e.event_ts)
+         |SELECT e.conv_id AS conversation, e.event_ts, e.label,
+         |  j1.turn_idx AS ts_view__turn_idx,
+         |  j2.score AS conv_quality__score
+         |FROM entity e
+         |LEFT JOIN (SELECT * FROM j1 WHERE rn = 1) j1
+         |  ON j1.conv_id = e.conv_id AND j1.event_ts = e.event_ts
+         |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2
+         |  ON j2.conv_id = e.conv_id AND j2.event_ts = e.event_ts""".stripMargin),
     "pit_chained" -> withTables(
       s""", toolturn AS (SELECT conv_id, ts, tool, turn_idx FROM transcript WHERE tool IS NOT NULL),
          |h1 AS (

@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.FeatureView
+import graft.{FeatureService, FeatureView}
 import graft.pit.PointInTimeJoin
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -54,6 +54,40 @@ object Historical {
       PointInTimeJoin.enrich(acc, v, entityTsCol, fullFeatureNames, filterByCreatedTs)
     }
     transform.map(_(out)).getOrElse(out)
+  }
+
+  /** Retrieval through a [[graft.FeatureService]]: each projection's
+    * join-key map and feature subset are applied before the normal
+    * multi-view path (reference feature_service.py:33; projection applied
+    * at offline_utils.py:135-142).
+    */
+  def getHistoricalFeaturesService(
+      entityDf: DataFrame,
+      service: FeatureService,
+      entityTsCol: String = "event_ts",
+      fullFeatureNames: Boolean = false
+  ): DataFrame =
+    getHistoricalFeatures(entityDf, service.projections.map(_.resolved),
+      entityTsCol, fullFeatureNames)
+
+  /** J8 (DAG-path multi-view assembly, spark/nodes.py:399-460): join N
+    * per-view feature frames on their shared join keys with left joins,
+    * feature columns prefixed `view__`, then left-join the entity frame.
+    * Unlike the sequential per-(entity,ts) path this composes *key-level*
+    * feature tables (e.g. materialized latests), not PIT results.
+    */
+  def joinViewsOnKeys(
+      entityDf: DataFrame,
+      keyCols: Seq[String],
+      viewFrames: Seq[(String, DataFrame)]
+  ): DataFrame = {
+    val prefixed = viewFrames.map { case (name, df) =>
+      df.columns.foldLeft(df) { (acc, c) =>
+        if (keyCols.contains(c)) acc else acc.withColumnRenamed(c, s"${name}__$c")
+      }
+    }
+    val joined = prefixed.reduce(_.join(_, keyCols, "left"))
+    entityDf.join(joined, keyCols, "left")
   }
 
   /** Typed entry point over the engine's core row types

@@ -75,6 +75,36 @@ case class FeatureView(
     }
 }
 
+/** Per-use view projection (reference FeatureViewProjection,
+  * sdk/python/feast/feature_view_projection.py:17; join_key_map applied at
+  * infra/offline_stores/dask.py:1053-1056): a feature subset and join-key
+  * renames binding a view to an entity frame whose key columns are named
+  * differently.
+  */
+case class Projection(
+    view: FeatureView,
+    features: Seq[String] = Nil,
+    joinKeyMap: Map[String, String] = Map.empty,
+    nameAlias: Option[String] = None
+) {
+  /** The view rebound to the entity frame's column names. */
+  def resolved: FeatureView = {
+    val renamedSource = joinKeyMap.foldLeft(view.source) {
+      case (df, (from, to)) => df.withColumnRenamed(from, to)
+    }
+    view.copy(
+      name = nameAlias.getOrElse(view.name),
+      source = renamedSource,
+      joinKeys = view.joinKeys.map(k => joinKeyMap.getOrElse(k, k)),
+      features = if (features.nonEmpty) features else view.features)
+  }
+}
+
+/** Named bundle of view projections — the query users actually serve
+  * (reference FeatureService, sdk/python/feast/feature_service.py:33).
+  */
+case class FeatureService(name: String, projections: Seq[Projection])
+
 /** Aggregation spec (reference: sdk/python/feast/aggregation/__init__.py:
   * 15-48): (column, function, optional time window, optional slide).
   * Supported functions: sum, max, min, count, avg/mean, count_distinct,

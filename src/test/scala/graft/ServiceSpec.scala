@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Historical
+
+/** FeatureService projections (join-key map, feature subset, alias) and the
+  * DAG-path multi-view key join (J8).
+  */
+class ServiceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val turns = Transcripts.synthetic(spark, nConvs = 8, turnsPerConv = 10, seed = 9L)
+
+  private def view = FeatureView("turn_stats",
+    turns.select(col("conv_id"), col("ts"), col("turn_idx"), col("role")),
+    Seq("conv_id"), "ts", None, 0L,
+    features = Seq("turn_idx", "role"), tieBreakCols = Seq("turn_idx"))
+
+  test("projection join-key map binds a view to renamed entity keys") {
+    val entity = turns.filter(col("turn_idx") === 5)
+      .select(col("conv_id").as("conversation"), col("ts").as("event_ts"))
+    val svc = FeatureService("svc", Seq(
+      Projection(view, features = Seq("turn_idx"),
+        joinKeyMap = Map("conv_id" -> "conversation"),
+        nameAlias = Some("tv"))))
+    val out = Historical.getHistoricalFeaturesService(entity, svc,
+      fullFeatureNames = true)
+    assert(out.columns.toSeq == Seq("conversation", "event_ts", "tv__turn_idx"))
+    assert(out.count() == 8)
+    // at each turn-5 timestamp the as-of winner is turn 5 itself
+    assert(out.filter(col("tv__turn_idx") =!= 5).isEmpty)
+  }
+
+  test("J8: multi-view key join prefixes features and preserves entity rows") {
+    val vA = turns.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+    val vB = turns.groupBy("conv_id").agg(max(col("turn_idx")).as("max_idx"))
+    val entity = turns.select("conv_id").distinct()
+      .unionByName(Seq("conv_unknown").toDF("conv_id"))
+    val out = Historical.joinViewsOnKeys(entity, Seq("conv_id"),
+      Seq("a" -> vA, "b" -> vB))
+    assert(out.columns.toSeq == Seq("conv_id", "a__n_turns", "b__max_idx"))
+    assert(out.count() == entity.count())
+    val unknown = out.filter(col("conv_id") === "conv_unknown").head()
+    assert(unknown.isNullAt(1) && unknown.isNullAt(2), "unmatched keys keep nulls")
+  }
+}
