@@ -35,6 +35,14 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Force FULL execution. `.count()` lets Catalyst eliminate the final
+    * left join (aggregate keys are provably unique) and everything under
+    * it, under-measuring PIT queries by orders of magnitude; the noop sink
+    * consumes every row of every column.
+    */
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** The scaling workload: full historical retrieval (PIT join with TTL +
     * salting guard) of per-turn features onto an entity frame sampled from
     * the transcript (~1 row per 10 turns).
@@ -57,34 +65,53 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nSmall = math.max(1, cpus / 4)
-    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "60000").toLong
+    // sized so the retrieval is compute-bound (several seconds at N cores):
+    // smaller inputs finish inside fixed job overhead at every parallelism
+    // and can't evidence scaling
+    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "400000").toLong
     val scalePath = s"/tmp/graft_bench_scale_$scaleConvs"
 
     // ---- phase 1: headline query timings at local[cpus] (before the
     // scale-table generation so its heap/GC pressure can't inflate them) ----
     var spark = session(cpus)
-    SparkEntry.queries("pit_latest_turn")(spark, sfDir).count() // warm-up
+    force(SparkEntry.queries("pit_latest_turn")(spark, sfDir)) // warm-up
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeSec {
-        try fn(spark, sfDir).count()
+        try force(fn(spark, sfDir))
         catch { case _: Throwable => () }
       }
     }
 
-    // ---- scale-input generation + phase 2a: scaling workload at 4N cores
-    // (min of 3 — isolates steady-state plan cost from JVM/GC noise) ----
+    // ---- scale-input generation (still in the sweep session) ----
     if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
       Transcripts.syntheticDistributed(spark, scaleConvs, turnsPerConv = 60)
         .write.mode("overwrite").parquet(scalePath)
     val turns = spark.read.parquet(scalePath).count()
-    retrieval(spark, scalePath).count() // warm the scaling plan
-    val sec4N = (1 to 3).map(_ => timeSec(retrieval(spark, scalePath).count())).min
     spark.stop()
 
-    // ---- phase 2b: same workload, same input, N cores ----
-    spark = session(nSmall)
-    val secN = (1 to 3).map(_ => timeSec(retrieval(spark, scalePath).count())).min
-    spark.stop()
+    // ---- phase 2: the scaling pair, each in a FRESH session (the
+    // sweep session accumulates listener/GC state that slows later jobs
+    // several-fold and would corrupt the comparison); min of 3 per level ----
+    // Equal shuffle partitioning at both levels — the N-vs-4N-executor
+    // comparison holds the job config fixed and varies only parallelism;
+    // partitions-per-core sizing would conflate partition granularity
+    // (sort size, spill) with core count.
+    def measure(cores: Int): Double = {
+      val s = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(s"graft-bench-scale-$cores")
+        .config("spark.sql.shuffle.partitions", 8 * cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      force(retrieval(s, scalePath)) // warm plan + file footers
+      val t = (1 to 5).map(_ => timeSec(force(retrieval(s, scalePath)))).min
+      s.stop()
+      t
+    }
+    val sec4N = measure(cpus)
+    val secN = measure(nSmall)
 
     val thrN = turns / secN
     val thr4N = turns / sec4N

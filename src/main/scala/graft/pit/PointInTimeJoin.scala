@@ -3,6 +3,7 @@ package graft.pit
 import graft.FeatureView
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Point-in-time ("as-of") join: for each entity row (join keys, event_ts),
   * attach the feature values of the **latest** source row with
@@ -14,23 +15,30 @@ import org.apache.spark.sql.functions._
   * contrib/spark_offline_store/spark.py:1709-1887 — J1..J7 in SURVEY.md §2.3)
   * and the dask dataframe program (infra/offline_stores/dask.py:1093-1270).
   *
-  * The physical plan is deliberately NOT the reference's
-  * (range join → row_number → join back). We compute
+  * Two physical strategies, neither of which is the reference's
+  * (range join → row_number → join back):
   *
-  *   range inner join → partial-aggregated max_by(struct(features),
-  *   struct(ts, created, tiebreaks)) groupBy (keys, event_ts) → single left
-  *   join back to the entity frame
+  *  1. **Merge path** ([[enrichMerge]], the default): union feature and
+  *     probe rows, one sort per key on (ts, side, created, tiebreaks), one
+  *     window pass of `last(payload, ignoreNulls)` — each probe row reads
+  *     the latest qualifying feature row directly. No join, no pair
+  *     blow-up, no aggregation: cost is a single shuffle + sort of
+  *     |features| + |probes| rows regardless of TTL width. This is the
+  *     classic sort-merge as-of algorithm expressed in pure Catalyst.
+  *  2. **Join path** ([[enrichJoin]]): time-bucketed range inner join
+  *     (bounded fan-out) → partial-aggregated max_by → left join back.
+  *     Needed for the created-ts *filter* mode (the winner then depends on
+  *     the probe's timestamp, which the merge prefix can't encode) and for
+  *     hot-key salting.
   *
-  * which is one shuffle cheaper (no window sort, no second join) and keeps
-  * everything inside whole-stage codegen with map-side partial aggregation.
-  * Scale levers:
-  *   - scan bounds [min(event_ts) - ttl, max(event_ts)] derived from the
-  *     entity frame are pushed into the source scan (parquet/Iceberg
-  *     predicate + partition pruning; reference offline_utils.py:168-189)
-  *   - the deduplicated (keys, event_ts) probe frame is broadcast when small
+  * Shared scale levers (both paths):
+  *   - scan bounds [min(event_ts) − ttl, max(event_ts)] derived from the
+  *     entity frame are pushed into the source scan (reference
+  *     offline_utils.py:168-189), plus derived date-partition predicates
   *   - only (keys, ts, created, features) survive into the shuffle — wide
   *     columns like `text` never shuffle unless they are requested features
-  *   - optional salting for hot keys (graft.skew.Salting) + AQE skew join.
+  *   - join path: time-bucket equi-keys, optional hot-key salting
+  *     (graft.skew.Salting), AQE skew join.
   */
 object PointInTimeJoin {
 
@@ -54,12 +62,21 @@ object PointInTimeJoin {
       broadcastThresholdRows: Long = DefaultBroadcastRows,
       saltBuckets: Int = 0,
       hotKeyRowThreshold: Long = 5000000L
-  ): DataFrame = {
+  ): DataFrame =
+    if (filterByCreatedTs || saltBuckets > 1 || view.joinKeys.isEmpty)
+      enrichJoin(entityDf, view, entityTsCol, fullFeatureNames,
+        filterByCreatedTs, broadcastThresholdRows, saltBuckets, hotKeyRowThreshold)
+    else
+      enrichMerge(entityDf, view, entityTsCol, fullFeatureNames)
+
+  /** Shared prep: field mapping (P1), early projection, scan bounds from the
+    * entity range (P4/P5), date-partition predicates (P6), probe dedup (J2).
+    */
+  private def prepare(
+      entityDf: DataFrame, view: FeatureView, entityTsCol: String
+  ): (DataFrame, DataFrame) = {
     val keys = view.joinKeys
     val feats = view.resolvedFeatures
-
-    // P1/P2: apply field mapping + early projection (column pruning reaches
-    // the scan; keeps wide columns out of the shuffle).
     val mapped = view.fieldMapping.foldLeft(view.source) {
       case (df, (src, dst)) => df.withColumnRenamed(src, dst)
     }
@@ -68,9 +85,6 @@ object PointInTimeJoin {
         view.tieBreakCols ++ view.datePartitionCol.toSeq
     var src = mapped.select(neededCols.distinct.map(col): _*)
 
-    // P4/P5: scan bounds from the entity frame — one tiny agg action whose
-    // result becomes a pushable predicate (reference A8 spark.py:1499-1535
-    // + template spark.py:1772-1782).
     val bounds: Row = entityDf
       .agg(min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx"))
       .head()
@@ -81,10 +95,6 @@ object PointInTimeJoin {
     if (!bounds.isNullAt(1))
       src = src.filter(col(view.tsCol) <= lit(bounds.get(1)))
     lowerTs.foreach(lo => src = src.filter(col(view.tsCol) >= lo))
-    // P6: redundant date-partition predicates derived from the same bounds —
-    // these hit the partition columns directly, so the file index prunes
-    // whole day-directories (Iceberg hidden partitioning would prune from
-    // the ts predicate alone; explicit `ds=` layouts need this).
     view.datePartitionCol.foreach { dpc =>
       if (!bounds.isNullAt(1))
         src = src.filter(
@@ -93,10 +103,94 @@ object PointInTimeJoin {
         src = src.filter(col(dpc) >= date_format(lo, view.datePartitionFormat)))
     }
 
-    // J2: deduplicated probe side — one row per (keys, event_ts).
-    val probeRaw = entityDf
+    val probe = entityDf
       .select((keys :+ entityTsCol).map(col): _*)
       .dropDuplicates(keys :+ entityTsCol)
+    (src, probe)
+  }
+
+  /** The sort-merge as-of path (see object doc, strategy 1).
+    *
+    * Ordering per key: (ts asc, side asc [features before probes at equal
+    * ts — `<=` semantics], created asc nulls-first [nulls lose], tiebreaks
+    * asc); the running `last` of the feature-row payload struct at each
+    * probe row is therefore exactly the max_by(ts, created, tiebreaks)
+    * winner of the prefix. The payload is one struct so a feature row's
+    * columns travel atomically (a legitimately-null feature value must NOT
+    * fall through to an older row). TTL is applied afterwards: the latest
+    * winner is the only candidate — anything older is further below the
+    * window's lower bound.
+    */
+  def enrichMerge(
+      entityDf: DataFrame,
+      view: FeatureView,
+      entityTsCol: String = "event_ts",
+      fullFeatureNames: Boolean = false
+  ): DataFrame = {
+    val keys = view.joinKeys
+    val feats = view.resolvedFeatures
+    val (src, probe) = prepare(entityDf, view, entityTsCol)
+    val minTs = lit("1900-01-01 00:00:00").cast("timestamp")
+
+    val etsType = probe.schema(entityTsCol).dataType
+    val ordNames = view.createdTsCol.map(_ => "__ord_created").toSeq ++
+      view.tieBreakCols.indices.map(i => s"__ord_tb$i")
+
+    val fSide = src.select(
+      keys.map(col) ++
+        Seq(col(view.tsCol).cast(etsType).as("__t"), lit(0).as("__p"),
+          lit(null).cast(etsType).as("__ets"),
+          when(lit(true), struct((feats.map(col) :+
+            col(view.tsCol).cast(etsType).as("__fts")): _*)).as("__payload")) ++
+        (view.createdTsCol.map(c => coalesce(col(c), minTs).as("__ord_created")).toSeq ++
+          view.tieBreakCols.zipWithIndex.map { case (c, i) => col(c).as(s"__ord_tb$i") }): _*)
+    val payloadType = fSide.schema("__payload").dataType
+    val pSide = probe.select(
+      keys.map(col) ++
+        Seq(col(entityTsCol).cast(etsType).as("__t"), lit(1).as("__p"),
+          col(entityTsCol).as("__ets"),
+          lit(null).cast(payloadType).as("__payload")) ++
+        ordNames.map(n => lit(null).cast(
+          fSide.schema(n).dataType).as(n)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col("__t").asc, col("__p").asc) ++
+        ordNames.map(n => col(n).asc_nulls_first)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = fSide.unionByName(pSide)
+      .withColumn("__best", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__p") === 1)
+
+    val qualified =
+      if (view.ttlSeconds > 0)
+        filled.withColumn("__best",
+          when(col("__best.__fts") >=
+            col("__ets") - expr(s"INTERVAL ${view.ttlSeconds} SECONDS"),
+            col("__best")))
+      else filled
+
+    val latest = qualified.select(
+      keys.map(col) ++ Seq(col("__ets").as(entityTsCol)) ++
+        feats.map(f => col("__best." + f).as(outName(view, f, fullFeatureNames))): _*)
+
+    entityDf.join(latest, keys :+ entityTsCol, "left")
+  }
+
+  /** The bucketed range-join path (see object doc, strategy 2). */
+  def enrichJoin(
+      entityDf: DataFrame,
+      view: FeatureView,
+      entityTsCol: String = "event_ts",
+      fullFeatureNames: Boolean = false,
+      filterByCreatedTs: Boolean = false,
+      broadcastThresholdRows: Long = DefaultBroadcastRows,
+      saltBuckets: Int = 0,
+      hotKeyRowThreshold: Long = 5000000L
+  ): DataFrame = {
+    val keys = view.joinKeys
+    val feats = view.resolvedFeatures
+    val (src, probeRaw) = prepare(entityDf, view, entityTsCol)
 
     // Hot-conversation salting (north rule; graft.skew.Salting): split keys
     // with > hotKeyRowThreshold source rows into saltBuckets sub-keys. The
@@ -113,15 +207,35 @@ object PointInTimeJoin {
           graft.skew.Salting.saltSmall(probeRaw, hot, keys))
       } else (src, probeRaw)
 
+    // Bounded-fan-out range join (the classic time-bucketing rewrite — OSS
+    // Spark has no range-join optimization): with a TTL, add a coarse
+    // time-bucket equi-key — feature rows at floor(ts/ttl), probe rows
+    // exploded over the 2 buckets covering [event_ts − ttl, event_ts].
+    // SMJ/HashJoin then pairs only rows within 2·ttl of each other instead
+    // of EVERY (turn, probe) pair of a conversation. Theta conditions below
+    // keep the semantics exact.
+    val bucketKeys = if (view.ttlSeconds > 0) Seq("__tb") else Nil
+    val bucketUs = view.ttlSeconds * 1000000L
+    val (srcB, probeB) =
+      if (bucketKeys.nonEmpty) {
+        (srcS.withColumn("__tb",
+          floor(unix_micros(col(view.tsCol).cast("timestamp")) / bucketUs)),
+          probeS.withColumn("__tb",
+            explode(sequence(
+              floor((unix_micros(col(entityTsCol).cast("timestamp")) - bucketUs) / bucketUs),
+              floor(unix_micros(col(entityTsCol).cast("timestamp")) / bucketUs)))))
+      } else (srcS, probeS)
+
     val probe =
-      if (saltKeys.isEmpty && shouldBroadcast(entityDf, broadcastThresholdRows))
-        broadcast(probeS)
-      else probeS
+      if (saltKeys.isEmpty && bucketKeys.isEmpty &&
+        shouldBroadcast(entityDf, broadcastThresholdRows))
+        broadcast(probeB)
+      else probeB
 
     // J3: equi+theta range join.
     val fts = col("__src." + view.tsCol)
     val ets = col("__probe." + entityTsCol)
-    var cond: Column = (keys ++ saltKeys)
+    var cond: Column = (keys ++ saltKeys ++ bucketKeys)
       .map(k => col("__src." + k) === col("__probe." + k))
       .reduce(_ && _) && (fts <= ets)
     if (view.ttlSeconds > 0)
@@ -129,7 +243,7 @@ object PointInTimeJoin {
     view.createdTsCol.foreach { c =>
       if (filterByCreatedTs) cond = cond && (col("__src." + c) <= ets)
     }
-    val joined = srcS.alias("__src").join(probe.alias("__probe"), cond, "inner")
+    val joined = srcB.alias("__src").join(probe.alias("__probe"), cond, "inner")
 
     // J4+J5+J6 fused: latest-row selection as a single partial-aggregable
     // max_by instead of row_number + join-back. Ordering: (ts desc, created
