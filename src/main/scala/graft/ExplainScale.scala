@@ -12,7 +12,7 @@ object ExplainScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val path = "/tmp/graft_bench_scale_400000"
+    val path = "/tmp/graft_bench_scale_800000"
     val t = spark.read.parquet(path)
     val entity = t.filter(pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(10)) === 0)
       .select(col("conv_id"), (col("ts") + expr("INTERVAL 30 SECONDS")).as("event_ts"))

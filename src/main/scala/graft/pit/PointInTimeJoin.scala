@@ -103,9 +103,7 @@ object PointInTimeJoin {
         src = src.filter(col(dpc) >= date_format(lo, view.datePartitionFormat)))
     }
 
-    val probe = entityDf
-      .select((keys :+ entityTsCol).map(col): _*)
-      .dropDuplicates(keys :+ entityTsCol)
+    val probe = entityDf.select((keys :+ entityTsCol).map(col): _*)
     (src, probe)
   }
 
@@ -158,9 +156,18 @@ object PointInTimeJoin {
         ordNames.map(n => col(n).asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Duplicate entity rows collapse WITHOUT a dedup exchange: duplicates
+    // are adjacent under this sort, so a lag() over the same window spec
+    // (one physical sort serves both functions) marks all but the first.
+    val wLag = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col("__t").asc, col("__p").asc) ++
+        ordNames.map(n => col(n).asc_nulls_first)): _*)
     val filled = fSide.unionByName(pSide)
       .withColumn("__best", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__p") === 1)
+      .withColumn("__dupProbe",
+        col("__p") === 1 && lag(col("__p"), 1).over(wLag) === 1 &&
+          lag(col("__t"), 1).over(wLag) === col("__t"))
+      .filter(col("__p") === 1 && !coalesce(col("__dupProbe"), lit(false)))
 
     val qualified =
       if (view.ttlSeconds > 0)
@@ -190,7 +197,9 @@ object PointInTimeJoin {
   ): DataFrame = {
     val keys = view.joinKeys
     val feats = view.resolvedFeatures
-    val (src, probeRaw) = prepare(entityDf, view, entityTsCol)
+    val (src, probeAll) = prepare(entityDf, view, entityTsCol)
+    // J2: deduplicated probe side — one row per (keys, event_ts).
+    val probeRaw = probeAll.dropDuplicates(keys :+ entityTsCol)
 
     // Hot-conversation salting (north rule; graft.skew.Salting): split keys
     // with > hotKeyRowThreshold source rows into saltBuckets sub-keys. The
