@@ -276,6 +276,29 @@ object SparkEntry {
         e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         k = 5)
     }),
+    // IVF coarse-quantizer ANN with nprobe = nlist — exhaustive probing
+    // makes it exact, so it shares the brute-force oracle; AnnSpec measures
+    // the approximate (nprobe < nlist) recall/candidate tradeoff.
+    "ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      sim.Ann.ivfTopK(
+        e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, nlist = 8, nprobe = 8)
+    }),
+    // Embedding-cosine near-dup pairs, exact O(n²) baseline.
+    "dedup_embedding" -> ((s, dir) =>
+      sim.EmbeddingDedup.cosinePairs(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.4)),
+    // LSH-accelerated variant (approximate at this mid threshold —
+    // rows-only check; EmbeddingDedupSpec measures recall at near-dup
+    // similarity where it is ≈ 1).
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      sim.EmbeddingDedup.cosinePairsLsh(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.4)),
 
     // Multimodal plumbing over a binary payload column (docs text encoded
     // to bytes stands in for image blobs; decode is stubbed — see
@@ -300,6 +323,8 @@ object SparkEntry {
       Profile.histogram(s.read.parquet(s"$dir/events.parquet"), "value", 10)),
     "stats_topn" -> ((s, dir) =>
       Profile.topN(s.read.parquet(s"$dir/events.parquet"), "event_type", 3)),
+    "stats_distinct" -> ((s, dir) =>
+      Profile.distinctCount(s.read.parquet(s"$dir/events.parquet"), "event_type")),
     // W5: union-distinct entity discovery across views.
     "union_entity_discovery" -> ((s, dir) =>
       Seq(Transcripts.fromEvents(s, dir).select(col("conv_id")),
@@ -355,6 +380,21 @@ object SparkEntry {
       |SELECT p.a, p.b, round(inter * 1.0 / (na.ns + nb.ns - inter), 6) AS jaccard
       |FROM p JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
       |WHERE round(inter * 1.0 / (na.ns + nb.ns - inter), 6) >= 0.8""".stripMargin)
+
+  /** Exact cosine top-5 — shared by brute force and by IVF with
+    * nprobe = nlist (exhaustive probing ⇒ exact).
+    */
+  private val annTopkOracle = withTables(
+    """, q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |       FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS sim
+      |      FROM q CROSS JOIN c WHERE q_id != c_id),
+      |r AS (SELECT q_id, c_id, sim,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rn
+      |      FROM s)
+      |SELECT q_id, c_id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+      |FROM r WHERE rn <= 5""".stripMargin)
 
   def oracleSql: Map[String, String] = Map(
     "pit_latest_turn" -> pitLatestTurnOracle,
@@ -677,17 +717,14 @@ object SparkEntry {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |    ' +', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin),
-    "ann_topk" -> withTables(
-      """, q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-        |       FROM embeddings WHERE vec_id % 50 = 0),
-        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS sim
-        |      FROM q CROSS JOIN c WHERE q_id != c_id),
-        |r AS (SELECT q_id, c_id, sim,
-        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rn
-        |      FROM s)
-        |SELECT q_id, c_id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
-        |FROM r WHERE rn <= 5""".stripMargin),
+    "ann_topk" -> annTopkOracle,
+    "ann_ivf" -> annTopkOracle,
+    "dedup_embedding" -> withTables(
+      """, e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin),
 
     "mm_meta" -> withTables(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -699,7 +736,10 @@ object SparkEntry {
         |  round(stddev_samp(value), 6) AS std,
         |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |  round(quantile_cont(value, 0.75), 6) AS p75,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events""".stripMargin),
     "stats_histogram" -> withTables(
       """, mm AS (SELECT min(value) AS mn, (max(value) - min(value)) / 10 AS w FROM events)
@@ -709,6 +749,9 @@ object SparkEntry {
     "stats_topn" -> withTables(
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY 1 ORDER BY cnt DESC, event_type ASC LIMIT 3""".stripMargin),
+    "stats_distinct" -> withTables(
+      """SELECT count(DISTINCT event_type) AS n_distinct,
+        |  count(event_type) AS n_nonnull FROM events""".stripMargin),
     "union_entity_discovery" -> withTables(
       """SELECT DISTINCT conv_id FROM (
         |  SELECT conv_id FROM transcript UNION ALL SELECT conv_id FROM conv_quality)""".stripMargin)

@@ -52,7 +52,7 @@ object Ann {
     topK(scored, k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[sim] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     scored
@@ -72,7 +72,7 @@ object Ann {
   }
 
   /** Bucket signature of `vec` in table `t`: bit b = sign(vec · plane_b). */
-  private def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  private[sim] def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
       when(dot(vec, typedLit(p)) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
@@ -108,6 +108,105 @@ object Ann {
       .dropDuplicates("q_id", "c_id")
     val scored = cand.select(col("q_id"), col("c_id"),
       cosine(col("q_vec"), col("c_vec")).as("sim"))
+    topK(scored, k)
+  }
+
+  /** Deterministic spherical k-means coarse quantizer: `nlist` centroids
+    * trained with `lloydIters` Lloyd rounds. Returns unit-norm centroids.
+    *
+    * Centroid state is nlist × dim doubles — a few KiB — so it lives on the
+    * driver between rounds and re-enters each assignment job as a literal
+    * (broadcast with the closure); each Lloyd round is one corpus scan + one
+    * (cluster, dim)-keyed aggregation. Init = the nlist rank-strided corpus
+    * vectors under id order (seedless, reproducible).
+    */
+  private[sim] def trainCentroids(
+      corpus: DataFrame, // (c_id, c_vec) — c_vec array<double>
+      nlist: Int,
+      lloydIters: Int
+  ): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val ranked = corpus.withColumn("__r",
+      row_number().over(Window.orderBy(col("c_id"))) - 1)
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      if (nm == 0) v else v.map(_ / nm)
+    }
+    var centroids: Seq[Seq[Double]] = ranked
+      .filter(col("__r") % stride === 0 && col("__r") / stride < nlist)
+      .orderBy(col("__r"))
+      .select(col("c_vec")).collect()
+      .map(r => normalize(r.getSeq[Double](0))).toSeq
+    for (_ <- 1 to lloydIters) {
+      val assigned = corpus.withColumn("__cl", nearestCentroid(col("c_vec"), centroids))
+      val sums = assigned
+        .select(col("__cl"), posexplode(col("c_vec")).as(Seq("__d", "__x")))
+        .groupBy(col("__cl"), col("__d"))
+        .agg(sum(col("__x")).as("__s"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            normalize(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Index of the max-dot centroid (ties → lowest index). Pure Catalyst:
+    * an array of (−dot, idx) structs, array_min picks the winner.
+    */
+  private def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(vec, typedLit(c))).as("negDot"), lit(i).as("idx"))
+    }: _*)).getField("idx")
+
+  /** Top-`nprobe` centroid indices by dot product, as an array column. */
+  private def probeCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    slice(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(vec, typedLit(c))).as("negDot"), lit(i).as("idx"))
+    }: _*)), 1, nprobe).getField("idx")
+
+  /** Approximate top-k cosine neighbors via an IVF (inverted-file) coarse
+    * quantizer: the corpus is partitioned into `nlist` spherical-k-means
+    * cells, each query scans only its `nprobe` nearest cells, exact cosine
+    * ranks the candidates.
+    *
+    * Scale shape: training is `lloydIters` corpus scans; search is one
+    * equi-join on the cell id — compute drops from O(|Q|·|C|) to
+    * O(|Q|·|C|·nprobe/nlist) and the cell id is a well-distributed shuffle
+    * key (cells are balanced by construction on non-degenerate data).
+    * Recall is measured in AnnSpec; `nprobe = nlist` degenerates to exact
+    * brute force.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val c = corpus.select(col("c_id"), col("c_vec").cast("array<double>").as("c_vec"))
+    val q = queries.select(col("q_id"), col("q_vec").cast("array<double>").as("q_vec"))
+    val centroids = trainCentroids(c, nlist, lloydIters)
+    val cAssigned = c
+      .withColumn("__cell", nearestCentroid(col("c_vec"), centroids))
+      .withColumn("__cn", norm(col("c_vec")))
+    val qProbes = q
+      .select(col("q_id"), col("q_vec"), norm(col("q_vec")).as("__qn"),
+        explode(probeCentroids(col("q_vec"), centroids, math.min(nprobe, nlist)))
+          .as("__cell"))
+    val scored = qProbes.join(cAssigned, "__cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn"))).as("sim"))
+      .dropDuplicates("q_id", "c_id")
     topK(scored, k)
   }
 }

@@ -1,0 +1,82 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-cosine near-duplicate detection: all pairs (a < b) with
+  * cosine(vec_a, vec_b) ≥ threshold, completing the dedup pack
+  * (graft.text.Dedup: exact / n-gram Jaccard / MinHash+LSH / SimHash)
+  * with the semantic-similarity method a training-data pipeline uses when
+  * byte-level methods miss paraphrases.
+  *
+  * The reference has no embedding operators; like the rest of the dedup
+  * pack these are the corpus-level ops the engine needs at 100 TB. All
+  * pure Catalyst (`zip_with`/`aggregate` folds from [[Ann]]) — no UDFs.
+  */
+object EmbeddingDedup {
+
+  /** Exact cosine-threshold pairs via self-join. O(n²) compute but the
+    * oracle-comparable baseline; the dot is identical to
+    * [[Ann.bruteForceTopK]]'s (same left-to-right fold, same norm
+    * placement) so results agree digit-for-digit with the exact ranker.
+    * For corpora where n² is too much, use [[cosinePairsLsh]].
+    */
+  def cosinePairs(
+      df: DataFrame, // (id, vec)
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val side = df.select(col(idCol), v.as("__v"), Ann.norm(v).as("__n"))
+    val a = side.toDF("a", "__va", "__na")
+    val b = side.toDF("b", "__vb", "__nb")
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(Ann.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Near-duplicate pairs via sign-LSH candidate generation + exact
+    * verification: vectors sharing a bucket in ANY of `tables` hash tables
+    * become candidates (the only pairwise step — and it only touches
+    * colliding vectors); exact cosine then filters to ≥ threshold.
+    *
+    * Bucket-collision probability per table is (1 − θ/π)^bits with
+    * θ = arccos(sim), so recall ≈ 1 − (1 − (1 − θ/π)^bits)^tables — for
+    * sim ≥ 0.95 at the defaults that is > 0.999; for mid thresholds raise
+    * `tables` or lower `bits` (recall measured in EmbeddingDedupSpec).
+    * Scale: one scan to bucket, one shuffle on (table, bucket), exact
+    * verify on candidates only.
+    */
+  def cosinePairsLsh(
+      df: DataFrame, // (id, vec)
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 12,
+      bits: Int = 8,
+      dim: Int = 64,
+      seed: Long = 20260816L
+  ): DataFrame = {
+    val hp = Ann.hyperplanes(tables, bits, dim, seed)
+    val v = col(vecCol).cast("array<double>")
+    val bucketStructs = hp.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("t"), Ann.bucket(v, planes).as("b"))
+    }
+    val bucketed = df.select(col(idCol), v.as("__v"), Ann.norm(v).as("__n"),
+      explode(array(bucketStructs: _*)).as("tb"))
+      .select(col(idCol), col("__v"), col("__n"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val a = bucketed.toDF("a", "__va", "__na", "t", "b")
+    val b = bucketed.toDF("b_", "__vb", "__nb", "t", "b")
+    a.join(b, Seq("t", "b"))
+      .filter(col("a") < col("b_"))
+      .dropDuplicates("a", "b_")
+      .select(col("a"), col("b_").as("b"),
+        round(Ann.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -24,8 +24,21 @@ object Profile {
       round(min(c), 6).as("min_v"),
       round(max(c), 6).as("max_v"),
       round(percentile(c, lit(0.5)), 6).as("p50"),
-      round(percentile(c, lit(0.9)), 6).as("p90"))
+      round(percentile(c, lit(0.75)), 6).as("p75"),
+      round(percentile(c, lit(0.9)), 6).as("p90"),
+      round(percentile(c, lit(0.95)), 6).as("p95"),
+      round(percentile(c, lit(0.99)), 6).as("p99"))
   }
+
+  /** Categorical cardinality (the COUNT(DISTINCT col) half of the
+    * reference's top-N profile, spark.py:908-963). Exact here for oracle
+    * comparability; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (single-pass HLL sketch, same call shape).
+    */
+  def distinctCount(df: DataFrame, column: String): DataFrame =
+    df.agg(
+      countDistinct(col(column)).as("n_distinct"),
+      count(col(column)).as("n_nonnull"))
 
   /** Fixed-width histogram (spark.py:857-905): bucket =
     * LEAST(GREATEST(FLOOR((x−min)/w)+1, 1), bins). Two-pass: min/max first

@@ -71,6 +71,26 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.8, f"recall@5 = $recall%.2f too low")
   }
 
+  test("IVF with nprobe = nlist is exactly brute force") {
+    val out = Ann.ivfTopK(queries, corpus, k = 5, nlist = 8, nprobe = 8)
+      .select("q_id", "c_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(out == oracleTopK)
+  }
+
+  test("IVF top-k: high recall probing a fraction of the cells") {
+    val ivf = Ann.ivfTopK(queries, corpus, k = 5, nlist = 10, nprobe = 3)
+      .select("q_id", "c_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = oracleTopK.toSeq.map { case (q, ns) =>
+      ns.count(ivf.getOrElse(q, Set.empty)).toDouble / ns.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.9, f"recall@5 = $recall%.2f too low")
+  }
+
   test("cosine expression matches the Scala computation") {
     val pairs = queries.limit(2).crossJoin(corpus.limit(3))
     val got = pairs.select(col("q_id"), col("c_id"),
