@@ -156,18 +156,33 @@ object PointInTimeJoin {
         ordNames.map(n => col(n).asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // Duplicate entity rows collapse WITHOUT a dedup exchange: duplicates
-    // are adjacent under this sort, so a lag() over the same window spec
-    // (one physical sort serves both functions) marks all but the first.
-    val wLag = Window.partitionBy(keys.map(col): _*)
-      .orderBy((Seq(col("__t").asc, col("__p").asc) ++
-        ordNames.map(n => col(n).asc_nulls_first)): _*)
-    val filled = fSide.unionByName(pSide)
+    // Slim fast path: when the entity frame is exactly (keys, event_ts),
+    // the final left join's only job is restoring entity-side columns and
+    // duplicate multiplicity — but every probe row already flows through
+    // the window pass (duplicates are adjacent and read the same running
+    // `last`), so the window output IS the result. Saves the join-back
+    // (one full shuffle of both sides) and the second entity scan — the
+    // whole retrieval becomes scan → one shuffle → sort+window → project.
+    val slim = entityDf.columns.toSet == (keys :+ entityTsCol).toSet
+
+    val unioned = fSide.unionByName(pSide)
       .withColumn("__best", last(col("__payload"), ignoreNulls = true).over(w))
-      .withColumn("__dupProbe",
-        col("__p") === 1 && lag(col("__p"), 1).over(wLag) === 1 &&
-          lag(col("__t"), 1).over(wLag) === col("__t"))
-      .filter(col("__p") === 1 && !coalesce(col("__dupProbe"), lit(false)))
+    val filled =
+      if (slim) unioned.filter(col("__p") === 1)
+      else {
+        // Duplicate entity rows collapse WITHOUT a dedup exchange:
+        // duplicates are adjacent under this sort, so a lag() over the same
+        // window spec (one physical sort serves both functions) marks all
+        // but the first; the join-back below restores multiplicity.
+        val wLag = Window.partitionBy(keys.map(col): _*)
+          .orderBy((Seq(col("__t").asc, col("__p").asc) ++
+            ordNames.map(n => col(n).asc_nulls_first)): _*)
+        unioned
+          .withColumn("__dupProbe",
+            col("__p") === 1 && lag(col("__p"), 1).over(wLag) === 1 &&
+              lag(col("__t"), 1).over(wLag) === col("__t"))
+          .filter(col("__p") === 1 && !coalesce(col("__dupProbe"), lit(false)))
+      }
 
     val qualified =
       if (view.ttlSeconds > 0)
@@ -177,11 +192,18 @@ object PointInTimeJoin {
             col("__best")))
       else filled
 
-    val latest = qualified.select(
-      keys.map(col) ++ Seq(col("__ets").as(entityTsCol)) ++
-        feats.map(f => col("__best." + f).as(outName(view, f, fullFeatureNames))): _*)
-
-    entityDf.join(latest, keys :+ entityTsCol, "left")
+    if (slim)
+      // original entity column order, then features
+      qualified.select(
+        entityDf.columns.toSeq.map(c =>
+          if (c == entityTsCol) col("__ets").as(entityTsCol) else col(c)) ++
+          feats.map(f => col("__best." + f).as(outName(view, f, fullFeatureNames))): _*)
+    else {
+      val latest = qualified.select(
+        keys.map(col) ++ Seq(col("__ets").as(entityTsCol)) ++
+          feats.map(f => col("__best." + f).as(outName(view, f, fullFeatureNames))): _*)
+      entityDf.join(latest, keys :+ entityTsCol, "left")
+    }
   }
 
   /** The bucketed range-join path (see object doc, strategy 2). */

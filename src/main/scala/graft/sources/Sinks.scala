@@ -70,4 +70,47 @@ object Sinks {
 
   def loadDataset(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** S10: feature logging sink (reference feature_logging.py:28-146;
+    * offline_store.py:569-592): served feature rows stamped with the log
+    * timestamp and request id, appended to the logging table with the
+    * usual schema alignment. `loggedAt` is an explicit argument so logs
+    * are deterministic and replayable (no wall clock inside the plan).
+    */
+  def logFeatures(
+      served: DataFrame,
+      requestId: String,
+      loggedAt: java.sql.Timestamp,
+      path: String
+  ): Unit = {
+    val stamped = served
+      .withColumn("__log_timestamp", lit(loggedAt))
+      .withColumn("__log_request_id", lit(requestId))
+    stamped.write.mode("append").parquet(path)
+  }
+
+  /** S11: monitoring DDL (reference spark.py:671-744): idempotent
+    * `CREATE TABLE IF NOT EXISTS … USING PARQUET` for the monitoring
+    * tables; re-running is a no-op.
+    */
+  def ensureMonitoringTables(spark: SparkSession, prefix: String = "graft"): Seq[String] = {
+    val ddls = Seq(
+      s"""CREATE TABLE IF NOT EXISTS ${prefix}_value_stats (
+         |  table_name STRING, column_name STRING, computed_at TIMESTAMP,
+         |  n_rows BIGINT, n_nonnull BIGINT, mean DOUBLE, std DOUBLE,
+         |  min_v DOUBLE, max_v DOUBLE, p50 DOUBLE, p75 DOUBLE, p90 DOUBLE,
+         |  p95 DOUBLE, p99 DOUBLE) USING PARQUET""".stripMargin,
+      s"""CREATE TABLE IF NOT EXISTS ${prefix}_histograms (
+         |  table_name STRING, column_name STRING, computed_at TIMESTAMP,
+         |  bucket INT, cnt BIGINT) USING PARQUET""".stripMargin,
+      s"""CREATE TABLE IF NOT EXISTS ${prefix}_topn (
+         |  table_name STRING, column_name STRING, computed_at TIMESTAMP,
+         |  value STRING, cnt BIGINT) USING PARQUET""".stripMargin,
+      s"""CREATE TABLE IF NOT EXISTS ${prefix}_freshness (
+         |  table_name STRING, computed_at TIMESTAMP,
+         |  max_event_ts TIMESTAMP, row_count BIGINT) USING PARQUET""".stripMargin)
+    ddls.foreach(spark.sql(_))
+    Seq(s"${prefix}_value_stats", s"${prefix}_histograms",
+      s"${prefix}_topn", s"${prefix}_freshness")
+  }
 }

@@ -128,4 +128,19 @@ class PointInTimeJoinSpec extends SparkTestBase {
       assert(got == expected)
     }
   }
+
+  test("slim entity frame (keys+ts only) fast path equals the join path, dupes kept") {
+    // duplicate probe rows included — multiplicity must be preserved
+    val slimEnts = (entities.map { case (c, t, _) => (c, t) } ++
+      entities.take(4).map { case (c, t, _) => (c, t) }).toDF("conv_id", "event_ts")
+    val fast = PointInTimeJoin.enrichMerge(slimEnts, view(3600L))
+    // same rows through the general path (extra column forces the join-back)
+    val general = PointInTimeJoin
+      .enrichMerge(slimEnts.withColumn("label", lit(0.0)), view(3600L))
+      .drop("label")
+    assert(fast.columns.toSeq == Seq("conv_id", "event_ts", "turn_idx", "turn_ts"))
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+    assert(fast.collect().map(key).sorted.toSeq == general.collect().map(key).sorted.toSeq)
+    assert(fast.count() == slimEnts.count())
+  }
 }

@@ -63,4 +63,23 @@ class SinksSpec extends SparkTestBase {
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
     intercept[Exception](Sinks.saveDataset(df, s"$tmp/saved"))
   }
+
+  test("feature logging stamps request id and log timestamp, appends") {
+    val served = Seq(("c1", 1.0), ("c2", 2.0)).toDF("conv_id", "score")
+    val at = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    Sinks.logFeatures(served, "req-1", at, s"$tmp/featlog")
+    Sinks.logFeatures(served, "req-2", at, s"$tmp/featlog")
+    val back = spark.read.parquet(s"$tmp/featlog")
+    assert(back.count() == 4)
+    assert(back.filter(col("__log_request_id") === "req-2").count() == 2)
+    assert(back.select("__log_timestamp").distinct().count() == 1)
+  }
+
+  test("monitoring DDL is idempotent and creates the four tables") {
+    val t1 = Sinks.ensureMonitoringTables(spark, "graft_t")
+    val t2 = Sinks.ensureMonitoringTables(spark, "graft_t") // no-op re-run
+    assert(t1 == t2 && t1.size == 4)
+    t1.foreach { t => assert(spark.catalog.tableExists(t), t) }
+    assert(spark.table("graft_t_value_stats").schema.fieldNames.contains("p99"))
+  }
 }
