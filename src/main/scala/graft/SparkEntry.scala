@@ -245,6 +245,31 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       text.Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxHamming = 3)),
+    // Connected components over the near-dup pair graph (min-label
+    // propagation): cluster_id = min doc id reachable through pairs.
+    "dedup_clusters" -> ((s, dir) =>
+      text.Dedup.duplicateClusters(
+        text.Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", n = 3, threshold = 0.8))),
+    // Canonical-keep corpus filter: documents surviving near-dedup (every
+    // cluster keeps its min-id member; singletons always survive).
+    "dedup_keep" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      text.Dedup.dropNearDuplicates(docs.select(col("doc_id")), "doc_id",
+        text.Dedup.duplicateClusters(
+          text.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)))
+    }),
+    // Deterministic hash-based train/val/test split (md5-of-id buckets;
+    // zero shuffles, stable under reruns and engine-portable).
+    "sample_split" -> ((s, dir) =>
+      sample.Sampling.hashSplit(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    // Deterministic per-language stratified 20% sample.
+    "sample_stratified" -> ((s, dir) =>
+      sample.Sampling.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
+        "doc_id", Seq("lang"), 0.2)),
     "text_language_id" -> ((s, dir) =>
       text.TextAnalysis.languageId(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
@@ -395,6 +420,29 @@ object SparkEntry {
       |      FROM s)
       |SELECT q_id, c_id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
       |FROM r WHERE rn <= 5""".stripMargin)
+
+  /** Shared CTE chain: exact ngram-jaccard ≥ 0.8 pair graph → transitive
+    * closure (recursive CTE) → per-doc min reachable id. Standalone (no
+    * [[withTables]]) because WITH RECURSIVE must lead the statement.
+    */
+  private val clusterChainSql =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM idx),
+      |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT p.a, p.b FROM p
+      |       JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+      |       WHERE round(inter * 1.0 / (na.ns + nb.ns - inter), 6) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b AS src, a AS dst FROM pr),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+      |clus AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |         FROM reach GROUP BY src)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "pit_latest_turn" -> pitLatestTurnOracle,
@@ -668,6 +716,25 @@ object SparkEntry {
         |FROM h JOIN g USING (content_hash) WHERE g.c > 1""".stripMargin),
     "dedup_ngram_pairs" -> ngramPairsOracle,
     "dedup_minhash_lsh" -> ngramPairsOracle,
+    "dedup_clusters" -> s"$clusterChainSql\nSELECT doc_id, cluster_id FROM clus",
+    "dedup_keep" ->
+      s"""$clusterChainSql
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)""".stripMargin,
+    "sample_split" -> withTables(
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin),
+    "sample_stratified" -> withTables(
+      """, r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin),
     "text_language_id" -> withTables(
       s""", sc AS (SELECT doc_id,
          |  ${langScoreSql("de", Seq(" der ", " die ", " und "))} AS sde,

@@ -190,6 +190,68 @@ object Dedup {
     agged.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Connected components over a near-duplicate pair graph: every doc that
+    * appears in `pairs` is assigned `cluster_id` = the minimum doc id
+    * reachable through the pair relation (so {a–b, b–c} collapses into one
+    * cluster labelled min(a,b,c)). Input: (a, b) pair columns from any of
+    * the pair generators above; output: (doc_id, cluster_id).
+    *
+    * Distributed min-label propagation: each round joins the current labels
+    * across the edge list and keeps the per-node minimum — two shuffles per
+    * round, both on doc-id keys, converging in O(component diameter) rounds.
+    * Near-dup clusters are shallow (dups of a common ancestor), so 2–3
+    * rounds is typical; `localCheckpoint` truncates the lineage each round
+    * so the plan does not grow with iterations, and convergence is detected
+    * with a cheap changed-row count. For adversarially chained graphs
+    * (diameter ~ n) switch to star-contraction (large-star/small-star,
+    * O(log² n) rounds) — not needed for dedup workloads.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIterations: Int = 50
+  ): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = edges.groupBy("src")
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint()
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIterations) {
+      // label(v) <- min(label(v), min over neighbors u of label(u))
+      val neighborMin = edges
+        .join(labels.select(col("src").as("dst"), col("label").as("nl")), "dst")
+        .groupBy("src").agg(min(col("nl")).as("nmn"))
+      val next = labels.join(neighborMin, Seq("src"), "left")
+        .select(col("src"),
+          least(col("label"), coalesce(col("nmn"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "src")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("src").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Remove near-duplicates, keeping one canonical document per cluster
+    * (the cluster's min id). `clusters` is [[duplicateClusters]] output;
+    * docs absent from the pair graph are singletons and always survive.
+    * One broadcast-or-shuffle anti join.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming, found
     * with a banded join (pigeonhole: ≤ maxHamming differing bits spread over
     * maxHamming+1 chunks leave at least one chunk equal), then verified with

@@ -71,6 +71,30 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((3L, 4L)), "unrelated docs must not match")
   }
 
+  test("duplicate clusters: transitive closure with min-id labels") {
+    // chain graph {1-2, 2-3} plus isolated pair {7-9}: two clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L),
+      s"chain must collapse transitively, got $out")
+  }
+
+  test("duplicate clusters converge on a long chain (diameter >> 1)") {
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+    assert(out.length == 21 && out.forall(_._2 == 0L))
+  }
+
+  test("dropNearDuplicates keeps one canonical doc per cluster + singletons") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    // {0,1,2,5} cluster → keep 0; 3 and 4 are singletons
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("language id picks the marker language; und when no markers") {
     val multi = Seq(
       (1L, "the cat and the dog of the house"),
