@@ -58,33 +58,67 @@ object Tiling {
         sum(col(valueCol) * col(valueCol)).as("__ss"),
         max(col(valueCol)).as("__mx"))
 
-    // 2. dense hop grid per key (orchestrator.py:96-140 forward-fill grid)
-    val grid = tiles
-      .groupBy(k: _*)
-      .agg(min(col("__hop")).as("__mn"), max(col("__hop")).as("__mx_hop"))
-      .select(k :+ explode(sequence(col("__mn"), col("__mx_hop"))).as("__hop"): _*)
+    // 2.+3. sparse breakpoint stream instead of a dense grid join.
+    //
+    // The dense-grid formulation (grid ⟕ tiles, cumsum, lag(·, lagTiles))
+    // amplifies N tile rows into (span/hop) grid rows per key — 126× on the
+    // bench table — and shuffles + window-sorts the amplified stream twice.
+    // But windowed(T) = cum(T) − cum(T−W) is piecewise constant: it only
+    // changes where a tile ENTERS the window (its own hop) or LEAVES it
+    // (hop + lagTiles). So: emit those ≤2N breakpoints, run ONE window pass
+    // over the sparse stream accumulating (entered − left) IRs, and explode
+    // each breakpoint's constant segment into the dense grid afterwards —
+    // a narrow generate, no dense shuffle/sort/join. Output is identical
+    // (orchestrator.py:96-151 semantics, exact T−W subtraction).
+    val zero = lit(0L)
+    val enter = tiles.select(
+      (k :+ col("__hop")) ++ Seq(
+        col("__s").as("__in_s"), col("__c").as("__in_c"), col("__ss").as("__in_ss"),
+        zero.as("__out_s"), zero.as("__out_c"), zero.as("__out_ss"),
+        col("__mx")): _*)
+    val leave = tiles.select(
+      (k :+ (col("__hop") + lagTiles).as("__hop")) ++ Seq(
+        zero.as("__in_s"), zero.as("__in_c"), zero.as("__in_ss"),
+        col("__s").as("__out_s"), col("__c").as("__out_c"), col("__ss").as("__out_ss"),
+        lit(null).cast(tiles.schema("__mx").dataType).as("__mx")): _*)
+    val breakpoints = enter.unionByName(leave)
+      .groupBy(k :+ col("__hop"): _*)
+      .agg(
+        sum(col("__in_s")).as("__in_s"), sum(col("__in_c")).as("__in_c"),
+        sum(col("__in_ss")).as("__in_ss"),
+        sum(col("__out_s")).as("__out_s"), sum(col("__out_c")).as("__out_c"),
+        sum(col("__out_ss")).as("__out_ss"),
+        max(col("__mx")).as("__mx"))
 
-    // 3. cumulative IRs over the grid (orchestrator.py:147-151)
-    val w = Window.partitionBy(k: _*).orderBy(col("__hop"))
+    val wcum = Window.partitionBy(k: _*).orderBy(col("__hop"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid
-      .join(tiles, keys :+ "__hop", "left")
-      .select(
-        (k :+ col("__hop")) ++ Seq(
-          sum(coalesce(col("__s"), lit(0L))).over(w).as("__cs"),
-          sum(coalesce(col("__c"), lit(0L))).over(w).as("__cc"),
-          sum(coalesce(col("__ss"), lit(0L))).over(w).as("__css"),
-          max(col("__mx")).over(w).as("__cmx")): _*)
+    val word = Window.partitionBy(k: _*).orderBy(col("__hop"))
+    val wpart = Window.partitionBy(k: _*)
+    val isReal = col("__in_c") > 0 // real tiles have ≥1 event; leave-only rows don't
+    val stepped = breakpoints.select(
+      (k :+ col("__hop")) ++ Seq(
+        (sum(col("__in_s")).over(wcum) - sum(col("__out_s")).over(wcum)).as("__sw"),
+        (sum(col("__in_c")).over(wcum) - sum(col("__out_c")).over(wcum)).as("__cw"),
+        (sum(col("__in_ss")).over(wcum) - sum(col("__out_ss")).over(wcum)).as("__ssw"),
+        max(col("__mx")).over(wcum).as("__cmx"),
+        lead(col("__hop"), 1).over(word).as("__next"),
+        max(when(isReal, col("__hop"))).over(wpart).as("__mx_hop")): _*)
 
-    // 4. tile subtraction (tile_subtraction.py:17-153); dense grid makes
-    //    lag(·, lagTiles) the exact T−W tile.
-    val wl = Window.partitionBy(k: _*).orderBy(col("__hop"))
-    val sW = col("__cs") - lag(col("__cs"), lagTiles, 0L).over(wl)
-    val cW = col("__cc") - lag(col("__cc"), lagTiles, 0L).over(wl)
-    val ssW = col("__css") - lag(col("__css"), lagTiles, 0L).over(wl)
+    // 4. explode each constant segment [hop, min(next, mx_hop+1)) into dense
+    //    hops; segments tile [min_hop, mx_hop] contiguously.
+    val segEnd = least(coalesce(col("__next"), col("__mx_hop") + 1), col("__mx_hop") + 1)
+    val dense = stepped
+      .filter(col("__hop") <= col("__mx_hop"))
+      .select(
+        (k ++ Seq(col("__sw"), col("__cw"), col("__ssw"), col("__cmx"))) :+
+          explode(sequence(col("__hop"), segEnd - 1)).as("__hop"): _*)
+
+    val sW = col("__sw")
+    val cW = col("__cw")
+    val ssW = col("__ssw")
     val varW = when(cW > 1,
       (ssW - sW * sW / cW) / (cW - 1)).otherwise(lit(null).cast("double"))
-    cum.select(
+    dense.select(
       (k :+ (col("__hop") * hopSec).as("hop_start")) ++ Seq(
         when(cW > 0, sW).otherwise(lit(null)).as("sum_w"),
         cW.as("count_w"),
