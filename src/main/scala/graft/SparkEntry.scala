@@ -282,6 +282,21 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       text.TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
+    // North-rule invariant as an oracle-checked query: per-turn text
+    // equality under stable (conv_id, turn_idx) ordering — every turn text
+    // of every conversation, concatenated in turn order, must match the
+    // oracle byte-for-byte (BASELINE.json:input_hint; TextEqualitySpec is
+    // the spec-side check).
+    "text_turn_order" -> ((s, dir) =>
+      Transcripts.fromEvents(s, dir)
+        .groupBy(col("conv_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+              x => x.getField("text")),
+            "\u001f").as("turns_concat"),
+          count(lit(1)).as("n_turns"))),
     // Exact brute-force cosine top-5 for every 50th vector as query.
     "ann_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -779,6 +794,11 @@ object SparkEntry {
         |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM r""".stripMargin),
+    "text_turn_order" -> withTables(
+      """SELECT conv_id,
+        |  string_agg(text, chr(31) ORDER BY turn_idx) AS turns_concat,
+        |  count(*) AS n_turns
+        |FROM transcript GROUP BY conv_id""".stripMargin),
     "text_fingerprint" -> withTables(
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

@@ -229,13 +229,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("src").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min(col("nl")).as("nmn"))
+      // change indicator computed in the same pass — the convergence count
+      // then reads the checkpointed result, no old-vs-new re-join
       val next = labels.join(neighborMin, Seq("src"), "left")
         .select(col("src"),
-          least(col("label"), coalesce(col("nmn"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmn"), col("label"))).as("label"),
+          (coalesce(col("nmn"), col("label")) < col("label")).as("__changed"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "src")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("__changed")).count()
+      labels = next.drop("__changed")
       iter += 1
     }
     labels.select(col("src").as("doc_id"), col("label").as("cluster_id"))
