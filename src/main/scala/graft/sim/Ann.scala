@@ -117,26 +117,23 @@ object Ann {
     * Centroid state is nlist × dim doubles — a few KiB — so it lives on the
     * driver between rounds and re-enters each assignment job as a literal
     * (broadcast with the closure); each Lloyd round is one corpus scan + one
-    * (cluster, dim)-keyed aggregation. Init = the nlist rank-strided corpus
-    * vectors under id order (seedless, reproducible).
+    * (cluster, dim)-keyed aggregation. Init = per-hash-bucket min-id corpus
+    * vectors (seedless, reproducible, and fully parallel — a global
+    * row_number rank-stride would single-partition-sort the whole corpus).
     */
   private[sim] def trainCentroids(
       corpus: DataFrame, // (c_id, c_vec) — c_vec array<double>
       nlist: Int,
       lloydIters: Int
   ): Seq[Seq[Double]] = {
-    import org.apache.spark.sql.expressions.Window
-    val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
-    val ranked = corpus.withColumn("__r",
-      row_number().over(Window.orderBy(col("c_id"))) - 1)
     def normalize(v: Seq[Double]): Seq[Double] = {
       val nm = math.sqrt(v.map(x => x * x).sum)
       if (nm == 0) v else v.map(_ / nm)
     }
-    var centroids: Seq[Seq[Double]] = ranked
-      .filter(col("__r") % stride === 0 && col("__r") / stride < nlist)
-      .orderBy(col("__r"))
+    var centroids: Seq[Seq[Double]] = corpus
+      .groupBy(pmod(xxhash64(col("c_id").cast("string")), lit(nlist)).as("__b"))
+      .agg(min_by(col("c_vec"), col("c_id")).as("c_vec"))
+      .orderBy(col("__b"))
       .select(col("c_vec")).collect()
       .map(r => normalize(r.getSeq[Double](0))).toSeq
     for (_ <- 1 to lloydIters) {
