@@ -273,6 +273,17 @@ object SparkEntry {
     "text_language_id" -> ((s, dir) =>
       text.TextAnalysis.languageId(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
+    // Corpus top-k n-gram document frequencies (contamination/boilerplate
+    // screens).
+    "text_top_ngrams" -> ((s, dir) =>
+      text.TextAnalysis.topNgrams(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, k = 20)),
+    // End-to-end corpus curation: language filter → min-length filter →
+    // near-dedup keep (graft.text.Curation).
+    "pipeline_curate" -> ((s, dir) =>
+      text.Curation.curate(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", lang = "en", minChars = 50)
+        .select(col("doc_id"))),
     "text_tokens" -> ((s, dir) =>
       text.TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
@@ -436,13 +447,31 @@ object SparkEntry {
       |SELECT q_id, c_id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
       |FROM r WHERE rn <= 5""".stripMargin)
 
-  /** Shared CTE chain: exact ngram-jaccard ≥ 0.8 pair graph → transitive
-    * closure (recursive CTE) → per-doc min reachable id. Standalone (no
-    * [[withTables]]) because WITH RECURSIVE must lead the statement.
+  /** Curation pre-filter (Curation.curate semantics): English-predicted
+    * (argmax with de-before-en tie order, mirroring the Spark fold) and
+    * ≥ 50 chars.
     */
-  private val clusterChainSql =
-    """WITH RECURSIVE
-      |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def curatedDocsSql: String =
+    s"""SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, sde, sen, greatest(sde, sen, ses, sfr, szh) AS mx FROM (
+       |    SELECT doc_id, text,
+       |      ${langScoreSql("de", Seq(" der ", " die ", " und "))} AS sde,
+       |      ${langScoreSql("en", Seq(" the ", " and ", " of "))} AS sen,
+       |      ${langScoreSql("es", Seq(" el ", " los ", " y "))} AS ses,
+       |      ${langScoreSql("fr", Seq(" le ", " la ", " et "))} AS sfr,
+       |      ${langScoreSql("zh", Seq("的", "是", "了"))} AS szh
+       |    FROM documents))
+       |WHERE length(text) >= 50 AND mx > 0 AND sde < mx AND sen = mx""".stripMargin
+
+  /** Shared CTE chain over a parameterized doc source: exact ngram-jaccard
+    * ≥ 0.8 pair graph → transitive closure (recursive CTE) → per-doc min
+    * reachable id. Standalone (no [[withTables]]) because WITH RECURSIVE
+    * must lead the statement.
+    */
+  private def clusterChainSql(docsSrc: String) =
+    s"""WITH RECURSIVE
+      |docs AS ($docsSrc),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
       |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM tok),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM idx),
       |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
@@ -731,11 +760,22 @@ object SparkEntry {
         |FROM h JOIN g USING (content_hash) WHERE g.c > 1""".stripMargin),
     "dedup_ngram_pairs" -> ngramPairsOracle,
     "dedup_minhash_lsh" -> ngramPairsOracle,
-    "dedup_clusters" -> s"$clusterChainSql\nSELECT doc_id, cluster_id FROM clus",
+    "dedup_clusters" ->
+      s"${clusterChainSql("SELECT doc_id, text FROM documents")}\nSELECT doc_id, cluster_id FROM clus",
     "dedup_keep" ->
-      s"""$clusterChainSql
-         |SELECT d.doc_id FROM documents d
+      s"""${clusterChainSql("SELECT doc_id, text FROM documents")}
+         |SELECT d.doc_id FROM docs d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)""".stripMargin,
+    "pipeline_curate" ->
+      s"""${clusterChainSql(curatedDocsSql)}
+         |SELECT d.doc_id FROM docs d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)""".stripMargin,
+    "text_top_ngrams" -> withTables(
+      """, tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM idx)
+        |SELECT g AS shingle, count(*) AS doc_freq FROM sh
+        |GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin),
     "sample_split" -> withTables(
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'

@@ -32,14 +32,21 @@ object TextAnalysis {
     * ("en" < "es" < ... wins ties via strict `>` scan). Output
     * (id, lang_pred, lang_score).
     */
-  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+  /** (lang_pred, lang_score) expression pair over a text column — exposed
+    * so pipelines can filter by language inline (zero extra scan/join).
+    */
+  def languagePrediction(textCol: Column): (Column, Column) = {
+    val padded = concat(lit(" "), lower(textCol), lit(" "))
     val scores: Seq[(String, Column)] = LanguageMarkers.map { case (lang, ms) =>
       lang -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
     }
-    val best = scores.sortBy(_._1).foldLeft[(Column, Column)]((lit("und"), lit(0))) {
+    scores.sortBy(_._1).foldLeft[(Column, Column)]((lit("und"), lit(0))) {
       case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
     }
+  }
+
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val best = languagePrediction(col(textCol))
     df.select(col(idCol), best._1.as("lang_pred"), best._2.as("lang_score"))
   }
 
@@ -93,4 +100,19 @@ object TextAnalysis {
       md5(trim(regexp_replace(
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
         " +", " "))).as("fingerprint"))
+
+  /** Corpus n-gram statistics: the `k` word-`n`-grams with the highest
+    * document frequency (distinct-docs count), ties broken alphabetically.
+    * The frequency profile a pipeline uses for contamination screens and
+    * boilerplate detection. One shuffle on the shingle (map-side combine
+    * collapses per-partition duplicates); the top-k is a TakeOrdered — no
+    * global sort materialized.
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame =
+    Dedup.shingles(df, idCol, textCol, n)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle").asc)
+      .limit(k)
 }
