@@ -161,9 +161,16 @@ object Bench {
     val taskSecs = scala.collection.mutable.Map[Int, Double]()
     var round = 0
     var sinceImprovement = 0
+    // wall budget: after both levels have two sessions, stop at the deadline
+    // even if still below 0.8 — a 2-core session is minutes, and unbounded
+    // floor-hunting must not blow the round's bench budget
+    val deadline = System.currentTimeMillis() +
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "18").toLong * 60000L
     while (round < order.length &&
-      (round < 4 || sinceImprovement < 2 ||
-        (turns / mins(nLarge)) / (turns / mins(nSmall)) / (nLarge.toDouble / nSmall) < 0.8)) {
+      (round < 4 ||
+        ((sinceImprovement < 2 ||
+          (turns / mins(nLarge)) / (turns / mins(nSmall)) / (nLarge.toDouble / nSmall) < 0.8) &&
+          System.currentTimeMillis() < deadline))) {
       val c = order(round)
       val (t, task) = sessionMin(c, reps = 3)
       taskSecs(c) = math.min(taskSecs.getOrElse(c, Double.MaxValue), task)
