@@ -246,10 +246,13 @@ object SparkEntry {
       text.Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxHamming = 3)),
     // Connected components over the near-dup pair graph (min-label
-    // propagation): cluster_id = min doc id reachable through pairs.
+    // propagation): cluster_id = min doc id reachable through pairs. Pair
+    // input is the LSH scale path (O(candidates), not O(pairs)); it matches
+    // the exact oracle at this threshold (miss prob ~3e-5) — the exact
+    // generator stays anchored by dedup_ngram_pairs.
     "dedup_clusters" -> ((s, dir) =>
       text.Dedup.duplicateClusters(
-        text.Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        text.Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", n = 3, threshold = 0.8))),
     // Canonical-keep corpus filter: documents surviving near-dedup (every
     // cluster keeps its min-id member; singletons always survive).
@@ -257,7 +260,7 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       text.Dedup.dropNearDuplicates(docs.select(col("doc_id")), "doc_id",
         text.Dedup.duplicateClusters(
-          text.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)))
+          text.Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)))
     }),
     // Deterministic hash-based train/val/test split (md5-of-id buckets;
     // zero shuffles, stable under reruns and engine-portable).
@@ -359,13 +362,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "doc_id", "media")),
-    // Stub featurization (rows-only check: hash-derived pseudo-embeddings
-    // have no SQL oracle; MultimodalSpec covers semantics).
+    // Stub featurization, exploded to (doc_id, lane, val) scalar rows: the
+    // md5-quad stub formula is engine-portable, so this is hash-checked
+    // against a DuckDB oracle recomputing the exact embedding (and the
+    // harness can sort scalars, unlike array columns).
     "mm_featurize" -> ((s, dir) =>
       multimodal.Multimodal.featurizeTable(
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
-        "doc_id", "media")),
+        "doc_id", "media")
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("lane", "val")))),
 
     // ----------------------------------------------------------- monitoring
     "stats_value" -> ((s, dir) =>
@@ -834,9 +840,12 @@ object SparkEntry {
         |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM r""".stripMargin),
+    // explicit (turn_idx, text) tie-break on both sides: the Spark side
+    // sorts (turn_idx, text) structs, so the oracle must pin the same
+    // order for duplicate turn_idx values
     "text_turn_order" -> withTables(
       """SELECT conv_id,
-        |  string_agg(text, chr(31) ORDER BY turn_idx) AS turns_concat,
+        |  string_agg(text, chr(31) ORDER BY turn_idx, text) AS turns_concat,
         |  count(*) AS n_turns
         |FROM transcript GROUP BY conv_id""".stripMargin),
     "text_fingerprint" -> withTables(
@@ -856,6 +865,23 @@ object SparkEntry {
     "mm_meta" -> withTables(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'unknown' AS format FROM documents""".stripMargin),
+    // recomputes the md5-quad stub embedding exactly (see
+    // Multimodal.stubFeaturize): hex → per-group md5 → 16-bit quad →
+    // q/32768 − 1, all exactly representable in float32
+    "mm_featurize" -> withTables(
+      """, lanes AS (SELECT unnest(generate_series(0, 63)) AS lane),
+        |base AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |h AS (SELECT doc_id, lane,
+        |    md5(hx || '_' || CAST(lane // 8 AS VARCHAR)) AS hh,
+        |    CAST(lane % 8 AS INT) AS s
+        |  FROM base CROSS JOIN lanes),
+        |v AS (SELECT doc_id, lane,
+        |   (strpos('0123456789abcdef', substr(hh, s*4+1, 1))-1)*4096
+        |  +(strpos('0123456789abcdef', substr(hh, s*4+2, 1))-1)*256
+        |  +(strpos('0123456789abcdef', substr(hh, s*4+3, 1))-1)*16
+        |  +(strpos('0123456789abcdef', substr(hh, s*4+4, 1))-1) AS q FROM h)
+        |SELECT doc_id, CAST(lane AS INT) AS lane,
+        |  CAST(q/32768.0 - 1.0 AS FLOAT) AS val FROM v""".stripMargin),
 
     "stats_value" -> withTables(
       """SELECT count(*) AS n_rows, count(value) AS n_nonnull,

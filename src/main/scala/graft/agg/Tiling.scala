@@ -75,12 +75,13 @@ object Tiling {
       (k :+ col("__hop")) ++ Seq(
         col("__s").as("__in_s"), col("__c").as("__in_c"), col("__ss").as("__in_ss"),
         zero.as("__out_s"), zero.as("__out_c"), zero.as("__out_ss"),
-        col("__mx")): _*)
+        col("__mx"), lit(1).as("__enter")): _*)
     val leave = tiles.select(
       (k :+ (col("__hop") + lagTiles).as("__hop")) ++ Seq(
         zero.as("__in_s"), zero.as("__in_c"), zero.as("__in_ss"),
         col("__s").as("__out_s"), col("__c").as("__out_c"), col("__ss").as("__out_ss"),
-        lit(null).cast(tiles.schema("__mx").dataType).as("__mx")): _*)
+        lit(null).cast(tiles.schema("__mx").dataType).as("__mx"),
+        lit(0).as("__enter")): _*)
     val breakpoints = enter.unionByName(leave)
       .groupBy(k :+ col("__hop"): _*)
       .agg(
@@ -88,13 +89,17 @@ object Tiling {
         sum(col("__in_ss")).as("__in_ss"),
         sum(col("__out_s")).as("__out_s"), sum(col("__out_c")).as("__out_c"),
         sum(col("__out_ss")).as("__out_ss"),
-        max(col("__mx")).as("__mx"))
+        max(col("__mx")).as("__mx"),
+        max(col("__enter")).as("__enter"))
 
     val wcum = Window.partitionBy(k: _*).orderBy(col("__hop"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val word = Window.partitionBy(k: _*).orderBy(col("__hop"))
     val wpart = Window.partitionBy(k: _*)
-    val isReal = col("__in_c") > 0 // real tiles have ≥1 event; leave-only rows don't
+    // tile PRESENCE (any enter row), not non-null count: a tile whose
+    // values are all NULL still extends the grid (count_w = 0 rows), same
+    // as the reference's dense min..max grid over all tile hops
+    val isReal = col("__enter") === 1
     val stepped = breakpoints.select(
       (k :+ col("__hop")) ++ Seq(
         (sum(col("__in_s")).over(wcum) - sum(col("__out_s")).over(wcum)).as("__sw"),

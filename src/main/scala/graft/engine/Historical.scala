@@ -50,8 +50,13 @@ object Historical {
         endDate.foreach(e => src = src.filter(col(v.tsCol) <= lit(e)))
         v.copy(source = src)
       }
+    // A8: one entity-range (min, max) action shared by every view — an
+    // N-view retrieval must not rescan the entity frame N times
+    // (reference computes the range once per job, offline_utils.py:168-189)
+    val bounds = Some(PointInTimeJoin.entityBounds(entityDf, entityTsCol))
     val out = bounded.foldLeft(entityDf) { (acc, v) =>
-      PointInTimeJoin.enrich(acc, v, entityTsCol, fullFeatureNames, filterByCreatedTs)
+      PointInTimeJoin.enrich(acc, v, entityTsCol, fullFeatureNames,
+        filterByCreatedTs, precomputedBounds = bounds)
     }
     transform.map(_(out)).getOrElse(out)
   }

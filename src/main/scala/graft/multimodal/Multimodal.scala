@@ -35,15 +35,26 @@ object Multimodal {
         .otherwise("unknown").as("format"))
   }
 
-  /** STUB decoder output: a deterministic pseudo-embedding in [-1, 1]^dim
-    * from xxhash64 of (bytes, lane). Stands in for "decode image → CNN
-    * features"; replace with a real decoder via [[featurizeWithDecoder]].
-    * Pure Catalyst — whole-stage codegen, no serialization boundary.
+  /** STUB decoder output: a deterministic pseudo-embedding in [-1, 1)^dim
+    * derived from md5 of (hex(bytes), lane-group). Stands in for "decode
+    * image → CNN features"; replace with a real decoder via
+    * [[featurizeWithDecoder]]. Pure Catalyst — whole-stage codegen, no
+    * serialization boundary.
+    *
+    * Formula (engine-portable on purpose, so the DuckDB oracle can recompute
+    * it exactly): lane `l` reads hex quad `l % 8` of
+    * `md5(hex(bytes) || '_' || (l / 8))`; the 16-bit quad maps to
+    * `q / 32768.0 − 1.0`, which is exactly representable in float32 — the
+    * cross-engine compare is therefore bit-exact, not tolerance-based.
     */
   def stubFeaturize(bin: Column, dim: Int = EmbedDim): Column =
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(bin, i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
-        .cast("float"))
+    transform(sequence(lit(0), lit(dim - 1)), l => {
+      val g = floor(l / lit(8)).cast("int")
+      val s = pmod(l, lit(8))
+      val h = md5(concat(hex(bin), lit("_"), g.cast("string")))
+      val quad = h.substr(s * lit(4) + lit(1), lit(4))
+      ((conv(quad, 16, 10).cast("int") / lit(32768.0)) - lit(1.0)).cast("float")
+    })
 
   /** (id, embedding array<float>) for every non-null payload. */
   def featurizeTable(df: DataFrame, idCol: String, binCol: String,

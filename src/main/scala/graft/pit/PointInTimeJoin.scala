@@ -25,11 +25,15 @@ import org.apache.spark.sql.expressions.Window
   *     blow-up, no aggregation: cost is a single shuffle + sort of
   *     |features| + |probes| rows regardless of TTL width. This is the
   *     classic sort-merge as-of algorithm expressed in pure Catalyst.
+  *     The created-ts *filter* mode stays on this path: a feature row is
+  *     visible to a probe iff `event_ts >= greatest(ts, created_ts)`, so
+  *     ordering the merge stream by that visibility time and keeping a
+  *     running `max_by(payload, (ts, created, tiebreaks))` (instead of
+  *     `last`) yields the exact filtered winner with the same single
+  *     sort — no join, no per-key pair blow-up at TTL = 0.
   *  2. **Join path** ([[enrichJoin]]): time-bucketed range inner join
   *     (bounded fan-out) → partial-aggregated max_by → left join back.
-  *     Needed for the created-ts *filter* mode (the winner then depends on
-  *     the probe's timestamp, which the merge prefix can't encode) and for
-  *     hot-key salting.
+  *     Needed for hot-key salting (explicit replication).
   *
   * Shared scale levers (both paths):
   *   - scan bounds [min(event_ts) − ttl, max(event_ts)] derived from the
@@ -61,19 +65,30 @@ object PointInTimeJoin {
       filterByCreatedTs: Boolean = false,
       broadcastThresholdRows: Long = DefaultBroadcastRows,
       saltBuckets: Int = 0,
-      hotKeyRowThreshold: Long = 5000000L
+      hotKeyRowThreshold: Long = 5000000L,
+      precomputedBounds: Option[Row] = None
   ): DataFrame =
-    if (filterByCreatedTs || saltBuckets > 1 || view.joinKeys.isEmpty)
+    if (saltBuckets > 1 || view.joinKeys.isEmpty)
       enrichJoin(entityDf, view, entityTsCol, fullFeatureNames,
-        filterByCreatedTs, broadcastThresholdRows, saltBuckets, hotKeyRowThreshold)
+        filterByCreatedTs, broadcastThresholdRows, saltBuckets,
+        hotKeyRowThreshold, precomputedBounds)
     else
-      enrichMerge(entityDf, view, entityTsCol, fullFeatureNames)
+      enrichMerge(entityDf, view, entityTsCol, fullFeatureNames,
+        filterByCreatedTs, precomputedBounds)
+
+  /** One entity-frame (min, max) event-ts scan, shared across views of a
+    * retrieval (reference computes it once per job too,
+    * offline_utils.py:168-189; spark.py:1499-1535).
+    */
+  def entityBounds(entityDf: DataFrame, entityTsCol: String): Row =
+    entityDf.agg(min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).head()
 
   /** Shared prep: field mapping (P1), early projection, scan bounds from the
     * entity range (P4/P5), date-partition predicates (P6), probe dedup (J2).
     */
   private def prepare(
-      entityDf: DataFrame, view: FeatureView, entityTsCol: String
+      entityDf: DataFrame, view: FeatureView, entityTsCol: String,
+      precomputedBounds: Option[Row]
   ): (DataFrame, DataFrame) = {
     val keys = view.joinKeys
     val feats = view.resolvedFeatures
@@ -85,9 +100,7 @@ object PointInTimeJoin {
         view.tieBreakCols ++ view.datePartitionCol.toSeq
     var src = mapped.select(neededCols.distinct.map(col): _*)
 
-    val bounds: Row = entityDf
-      .agg(min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx"))
-      .head()
+    val bounds: Row = precomputedBounds.getOrElse(entityBounds(entityDf, entityTsCol))
     val lowerTs =
       if (view.ttlSeconds > 0 && !bounds.isNullAt(0))
         Some(lit(bounds.get(0)) - expr(s"INTERVAL ${view.ttlSeconds} SECONDS"))
@@ -118,28 +131,59 @@ object PointInTimeJoin {
     * fall through to an older row). TTL is applied afterwards: the latest
     * winner is the only candidate — anything older is further below the
     * window's lower bound.
+    *
+    * Created-ts filter mode (`filterByCreatedTs`, reference template
+    * spark.py:1799-1801 / dask masking dask.py:1203-1226): visibility time
+    * of a feature row becomes `greatest(ts, created_ts)` — `__t <= event_ts`
+    * is then exactly `ts <= event_ts AND created_ts <= event_ts`. The
+    * stream is no longer sorted by the (ts, created, tiebreaks) winner
+    * order, so the running `last` is replaced by a running
+    * `max_by(payload, ord)` over the same window — still one sort, one
+    * pass; the TTL = 0 case stays linear instead of the join path's
+    * per-key quadratic fan-out.
     */
   def enrichMerge(
       entityDf: DataFrame,
       view: FeatureView,
       entityTsCol: String = "event_ts",
-      fullFeatureNames: Boolean = false
+      fullFeatureNames: Boolean = false,
+      filterByCreatedTs: Boolean = false,
+      precomputedBounds: Option[Row] = None
   ): DataFrame = {
     val keys = view.joinKeys
     val feats = view.resolvedFeatures
-    val (src, probe) = prepare(entityDf, view, entityTsCol)
+    val (src, probe) = prepare(entityDf, view, entityTsCol, precomputedBounds)
     val minTs = lit("1900-01-01 00:00:00").cast("timestamp")
+    val createdFilter = filterByCreatedTs && view.createdTsCol.nonEmpty
 
     val etsType = probe.schema(entityTsCol).dataType
     val ordNames = view.createdTsCol.map(_ => "__ord_created").toSeq ++
       view.tieBreakCols.indices.map(i => s"__ord_tb$i")
 
+    // visibility time: when created-filtering, a row only becomes usable
+    // once BOTH its event ts and its created ts have passed (greatest
+    // skips nulls, so a null created_ts falls back to ts alone)
+    val visTime =
+      if (createdFilter)
+        greatest(col(view.tsCol), col(view.createdTsCol.get)).cast(etsType)
+      else col(view.tsCol).cast(etsType)
+
+    // winner order of the created-filter max_by: (ts, created nulls-lose,
+    // tiebreaks) — identical to the join path's ordering struct
+    val ordStruct =
+      if (createdFilter)
+        Seq(when(lit(true), struct((col(view.tsCol).cast(etsType).as("__o_ts") +:
+          (view.createdTsCol.map(c => coalesce(col(c), minTs).as("__o_cr")).toSeq ++
+            view.tieBreakCols.zipWithIndex.map { case (c, i) => col(c).as(s"__o_tb$i") })): _*))
+          .as("__ord"))
+      else Nil
     val fSide = src.select(
       keys.map(col) ++
-        Seq(col(view.tsCol).cast(etsType).as("__t"), lit(0).as("__p"),
+        Seq(visTime.as("__t"), lit(0).as("__p"),
           lit(null).cast(etsType).as("__ets"),
           when(lit(true), struct((feats.map(col) :+
             col(view.tsCol).cast(etsType).as("__fts")): _*)).as("__payload")) ++
+        ordStruct ++
         (view.createdTsCol.map(c => coalesce(col(c), minTs).as("__ord_created")).toSeq ++
           view.tieBreakCols.zipWithIndex.map { case (c, i) => col(c).as(s"__ord_tb$i") }): _*)
     val payloadType = fSide.schema("__payload").dataType
@@ -148,6 +192,9 @@ object PointInTimeJoin {
         Seq(col(entityTsCol).cast(etsType).as("__t"), lit(1).as("__p"),
           col(entityTsCol).as("__ets"),
           lit(null).cast(payloadType).as("__payload")) ++
+        (if (createdFilter)
+           Seq(lit(null).cast(fSide.schema("__ord").dataType).as("__ord"))
+         else Nil) ++
         ordNames.map(n => lit(null).cast(
           fSide.schema(n).dataType).as(n)): _*)
 
@@ -165,8 +212,15 @@ object PointInTimeJoin {
     // whole retrieval becomes scan → one shuffle → sort+window → project.
     val slim = entityDf.columns.toSet == (keys :+ entityTsCol).toSet
 
+    // running winner: the sorted-stream `last` in normal mode; a running
+    // max_by over (ts, created, tiebreaks) in created-filter mode, where
+    // the stream is visibility-ordered, not winner-ordered (probe rows
+    // carry a null ord and are skipped by max_by)
+    val runningBest =
+      if (createdFilter) max_by(col("__payload"), col("__ord")).over(w)
+      else last(col("__payload"), ignoreNulls = true).over(w)
     val unioned = fSide.unionByName(pSide)
-      .withColumn("__best", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__best", runningBest)
     val filled =
       if (slim) unioned.filter(col("__p") === 1)
       else {
@@ -215,11 +269,12 @@ object PointInTimeJoin {
       filterByCreatedTs: Boolean = false,
       broadcastThresholdRows: Long = DefaultBroadcastRows,
       saltBuckets: Int = 0,
-      hotKeyRowThreshold: Long = 5000000L
+      hotKeyRowThreshold: Long = 5000000L,
+      precomputedBounds: Option[Row] = None
   ): DataFrame = {
     val keys = view.joinKeys
     val feats = view.resolvedFeatures
-    val (src, probeAll) = prepare(entityDf, view, entityTsCol)
+    val (src, probeAll) = prepare(entityDf, view, entityTsCol, precomputedBounds)
     // J2: deduplicated probe side — one row per (keys, event_ts).
     val probeRaw = probeAll.dropDuplicates(keys :+ entityTsCol)
 

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * Stage costs: the language + length filters are inline Catalyst
   * predicates on the scan ([[TextAnalysis.languagePrediction]] — no join,
   * no second scan, pushed ahead of everything so the expensive pair
-  * generation only sees surviving docs); dedup is
-  * [[Dedup.ngramJaccardPairs]] → [[Dedup.duplicateClusters]] →
-  * [[Dedup.dropNearDuplicates]] (swap in [[Dedup.minHashLshPairs]] for the
-  * O(candidates) path at corpus scale).
+  * generation only sees surviving docs); dedup defaults to
+  * [[Dedup.minHashLshPairs]] → [[Dedup.duplicateClusters]] →
+  * [[Dedup.dropNearDuplicates]] — the O(candidates) scale path (at 64
+  * hashes / 16 bands the 0.8-threshold miss probability is ~3e-5, so it
+  * matches the exact generator with near-certainty). Set `useLsh = false`
+  * only for oracle-anchoring runs that need the exact O(pairs) generator.
   */
 object Curation {
 
@@ -26,7 +28,7 @@ object Curation {
       minChars: Int,
       n: Int = 3,
       threshold: Double = 0.8,
-      useLsh: Boolean = false
+      useLsh: Boolean = true
   ): DataFrame = {
     val (langPred, _) = TextAnalysis.languagePrediction(col(textCol))
     val filtered = df.filter(langPred === lang && length(col(textCol)) >= minChars)

@@ -240,6 +240,13 @@ object Dedup {
       labels = next.drop("__changed")
       iter += 1
     }
+    // non-convergence must be loud: partially propagated labels would keep
+    // several "canonical" docs per cluster downstream with no signal
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge after $maxIterations rounds " +
+          s"($changed labels still changing) — component diameter exceeds the " +
+          "budget; raise maxIterations or use star-contraction for chained graphs")
     labels.select(col("src").as("doc_id"), col("label").as("cluster_id"))
   }
 
