@@ -341,6 +341,18 @@ object SparkEntry {
         e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         k = 5, nlist = 8, nprobe = 8)
     }),
+    // IVF at large nlist (256 cells): exercises the broadcast-centroid
+    // argmin assignment — plan size stays O(1) in nlist where the former
+    // literal-array formulation built a 256-element struct array per row.
+    // nprobe = nlist keeps it exact → shares the brute-force oracle.
+    "ann_ivf_large" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      sim.Ann.ivfTopK(
+        e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, nlist = 256, nprobe = 256, lloydIters = 1)
+    }),
     // Embedding-cosine near-dup pairs, exact O(n²) baseline.
     "dedup_embedding" -> ((s, dir) =>
       sim.EmbeddingDedup.cosinePairs(
@@ -855,6 +867,7 @@ object SparkEntry {
         |FROM documents""".stripMargin),
     "ann_topk" -> annTopkOracle,
     "ann_ivf" -> annTopkOracle,
+    "ann_ivf_large" -> annTopkOracle,
     "dedup_embedding" -> withTables(
       """, e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS a, b.vec_id AS b,

@@ -114,9 +114,10 @@ object Ann {
   /** Deterministic spherical k-means coarse quantizer: `nlist` centroids
     * trained with `lloydIters` Lloyd rounds. Returns unit-norm centroids.
     *
-    * Centroid state is nlist × dim doubles — a few KiB — so it lives on the
-    * driver between rounds and re-enters each assignment job as a literal
-    * (broadcast with the closure); each Lloyd round is one corpus scan + one
+    * Centroid state is nlist × dim doubles — KiBs to low MiBs — so it lives
+    * on the driver between rounds and re-enters each assignment job as a
+    * broadcast DataFrame ([[assignCells]], plan size O(1) in nlist); each
+    * Lloyd round is one corpus scan + one
     * (cluster, dim)-keyed aggregation. Init = per-hash-bucket min-id corpus
     * vectors (seedless, reproducible, and fully parallel — a global
     * row_number rank-stride would single-partition-sort the whole corpus).
@@ -137,7 +138,7 @@ object Ann {
       .select(col("c_vec")).collect()
       .map(r => normalize(r.getSeq[Double](0))).toSeq
     for (_ <- 1 to lloydIters) {
-      val assigned = corpus.withColumn("__cl", nearestCentroid(col("c_vec"), centroids))
+      val assigned = assignCells(corpus, "c_id", "c_vec", centroids, "__cl")
       val sums = assigned
         .select(col("__cl"), posexplode(col("c_vec")).as(Seq("__d", "__x")))
         .groupBy(col("__cl"), col("__d"))
@@ -155,19 +156,60 @@ object Ann {
     centroids
   }
 
-  /** Index of the max-dot centroid (ties → lowest index). Pure Catalyst:
-    * an array of (−dot, idx) structs, array_min picks the winner.
+  /** Centroids as a broadcast DataFrame (__cidx, __cvec). The literal-array
+    * alternative (an nlist-element struct array built per row inside
+    * codegen) blows up plan size and codegen at real nlist (≥ 4096); a
+    * broadcast table keeps the plan O(1) in nlist — the centroid bytes ship
+    * once per executor, not once per expression tree.
     */
-  private def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dot(vec, typedLit(c))).as("negDot"), lit(i).as("idx"))
-    }: _*)).getField("idx")
+  private def centroidsDf(df: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    broadcast(centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cidx", "__cvec"))
+  }
 
-  /** Top-`nprobe` centroid indices by dot product, as an array column. */
-  private def probeCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
-    slice(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dot(vec, typedLit(c))).as("negDot"), lit(i).as("idx"))
-    }: _*)), 1, nprobe).getField("idx")
+  /** Max-dot centroid assignment (ties → lowest index) via broadcast
+    * nested-loop join + partial-aggregated `min(struct(negDot, idx, vec))`:
+    * map-side combine collapses the |rows|·nlist scored pairs back to one
+    * row per input before any shuffle, so the exchange stays O(|rows|).
+    * Ordering is identical to the former literal `array_min` formulation
+    * (negDot asc = dot desc, then idx asc), so results are byte-equal.
+    */
+  private[sim] def assignCells(
+      df: DataFrame, // (idCol, vecCol) with vecCol array<double>
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      cellCol: String
+  ): DataFrame =
+    df.crossJoin(centroidsDf(df, centroids))
+      .select(col(idCol),
+        struct((-dot(col(vecCol), col("__cvec"))).as("negDot"),
+          col("__cidx").as("idx"), col(vecCol).as("vec")).as("__cand"))
+      .groupBy(col(idCol))
+      .agg(min(col("__cand")).as("__best"))
+      .select(col(idCol), col("__best.vec").as(vecCol),
+        col("__best.idx").as(cellCol))
+
+  /** Top-`nprobe` centroids per query vector (dot desc, idx asc), one row
+    * per (query, probed cell). Same broadcast-join shape as [[assignCells]];
+    * the per-query top-nprobe is a window row_number over |Q|·nlist slim
+    * rows — fine at ANN query volumes (|Q| ≪ |C|).
+    */
+  private def probeCells(
+      q: DataFrame, // (q_id, q_vec, __qn)
+      centroids: Seq[Seq[Double]],
+      nprobe: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy((-dot(col("q_vec"), col("__cvec"))).asc, col("__cidx").asc)
+    q.crossJoin(centroidsDf(q, centroids))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("__qn"), col("__cidx").as("__cell"))
+  }
 
   /** Approximate top-k cosine neighbors via an IVF (inverted-file) coarse
     * quantizer: the corpus is partitioned into `nlist` spherical-k-means
@@ -192,13 +234,11 @@ object Ann {
     val c = corpus.select(col("c_id"), col("c_vec").cast("array<double>").as("c_vec"))
     val q = queries.select(col("q_id"), col("q_vec").cast("array<double>").as("q_vec"))
     val centroids = trainCentroids(c, nlist, lloydIters)
-    val cAssigned = c
-      .withColumn("__cell", nearestCentroid(col("c_vec"), centroids))
+    val cAssigned = assignCells(c, "c_id", "c_vec", centroids, "__cell")
       .withColumn("__cn", norm(col("c_vec")))
-    val qProbes = q
-      .select(col("q_id"), col("q_vec"), norm(col("q_vec")).as("__qn"),
-        explode(probeCentroids(col("q_vec"), centroids, math.min(nprobe, nlist)))
-          .as("__cell"))
+    val qProbes = probeCells(
+      q.select(col("q_id"), col("q_vec"), norm(col("q_vec")).as("__qn")),
+      centroids, math.min(nprobe, nlist))
     val scored = qProbes.join(cAssigned, "__cell")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),

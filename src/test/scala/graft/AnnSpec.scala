@@ -91,6 +91,30 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall@5 = $recall%.2f too low")
   }
 
+  test("IVF at large nlist (broadcast-centroid argmin): exact at nprobe = nlist") {
+    // 64 cells over 300 vectors: the broadcast-DataFrame assignment path
+    // must stay byte-equal to brute force when every cell is probed —
+    // this is the plan-size regression guard for real nlist (≥ 4096),
+    // where a literal-array argmin would blow up codegen.
+    val out = Ann.ivfTopK(queries, corpus, k = 5, nlist = 64, nprobe = 64, lloydIters = 1)
+      .select("q_id", "c_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(out == oracleTopK)
+  }
+
+  test("IVF at large nlist: useful recall probing a quarter of the cells") {
+    val ivf = Ann.ivfTopK(queries, corpus, k = 5, nlist = 64, nprobe = 16, lloydIters = 1)
+      .select("q_id", "c_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = oracleTopK.toSeq.map { case (q, ns) =>
+      ns.count(ivf.getOrElse(q, Set.empty)).toDouble / ns.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.6, f"recall@5 = $recall%.2f too low")
+  }
+
   test("cosine expression matches the Scala computation") {
     val pairs = queries.limit(2).crossJoin(corpus.limit(3))
     val got = pairs.select(col("q_id"), col("c_id"),
