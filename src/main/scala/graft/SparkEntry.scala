@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.agg.{Aggregations, Tiling}
-import graft.engine.{Historical, Materialize}
+import graft.engine.{Historical, Materialize, Registry}
 import graft.feat.TranscriptFeatures
 import graft.stats.Profile
 
@@ -157,6 +157,40 @@ object SparkEntry {
         transform = Some(df => df
           .withColumn("long_turn", col("text_len") >= 60)
           .withColumn("idx_sq", col("turn_idx") * col("turn_idx"))))),
+    // Declared ODFV with a RequestSource column: request data arrives on the
+    // entity frame, is validated before retrieval, and the transform sees
+    // ONLY its declared inputs (U1/U3; utils.py:820-844, data_source.py:591).
+    "odfv_request" -> ((s, dir) => {
+      val entity = Transcripts.entityFrame(s, dir)
+        .withColumn("req_weight", coalesce(round(col("label"), 2), lit(0.0)) + lit(1.0))
+      Historical.getHistoricalFeatures(entity,
+        Seq(convQualityView(s, dir)),
+        onDemand = Seq(OnDemandView("quality_boost",
+          inputs = Seq("score"),
+          requestCols = Seq("req_weight"),
+          outputs = Seq("boosted"),
+          transform = df =>
+            df.withColumn("boosted", col("score") * col("req_weight")))))
+    }),
+    // Retrieval by "view:feature" string refs through a registry, including
+    // an ODFV ref whose sourceRefs pull the backing view automatically; the
+    // un-requested ODFV input (conv_quality score) is projected away
+    // (feature_store.py:1942-2142; utils._get_features:1171).
+    "registry_refs" -> ((s, dir) => {
+      val reg = new Registry()
+        .register(turnStatsView(s, dir, ttlSec = 4 * 3600L))
+        .register(convQualityView(s, dir))
+        .register(OnDemandView("qb",
+          inputs = Seq("score"),
+          outputs = Seq("score_pct"),
+          sourceRefs = Seq("conv_quality:score"),
+          transform = df =>
+            df.withColumn("score_pct", col("score") * lit(100.0))))
+      reg.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq("turn_stats:turn_idx", "turn_stats:text_len", "qb:score_pct"),
+        fullFeatureNames = true)
+    }),
     // SQL-mode view transform (U4; transformation/spark_transformation.py:
     // 11-120 SPARK_SQL mode): the view source is a spark.sql query over a
     // temp view of the raw transcript.
@@ -394,6 +428,19 @@ object SparkEntry {
       Profile.topN(s.read.parquet(s"$dir/events.parquet"), "event_type", 3)),
     "stats_distinct" -> ((s, dir) =>
       Profile.distinctCount(s.read.parquet(s"$dir/events.parquet"), "event_type")),
+    // SavedDataset validation profile (saved_dataset.py:259): profile the
+    // even-doc_id half as the reference, validate the full table against it
+    // at 5% relative tolerance. Exact mode for oracle comparability.
+    "stats_profile_validate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ref = stats.DatasetProfile.profile(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        Seq("n_chars", "lang"), exact = true)
+      stats.DatasetProfile.validate(docs, ref, Seq("n_chars", "lang"),
+          relTol = 0.05, exact = true)
+        .withColumn("ref_value", round(col("ref_value"), 6))
+        .withColumn("got_value", round(col("got_value"), 6))
+    }),
     // W5: union-distinct entity discovery across views.
     "union_entity_discovery" -> ((s, dir) =>
       Seq(Transcripts.fromEvents(s, dir).select(col("conv_id")),
@@ -648,6 +695,42 @@ object SparkEntry {
          |  j.text_len >= 60 AS long_turn, j.turn_idx * j.turn_idx AS idx_sq
          |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
          |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
+    "odfv_request" -> withTables(
+      s""", e2 AS (SELECT *, coalesce(round(label, 2), 0) + 1.0 AS req_weight FROM entity),
+         |j AS (
+         |  SELECT e.conv_id, e.event_ts, q.score,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN conv_quality q ON q.conv_id = e.conv_id AND q.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label, e.req_weight, j.score,
+         |  j.score * e.req_weight AS boosted
+         |FROM e2 e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
+    "registry_refs" -> withTables(
+      s""", feat AS ($turnStatsSql),
+         |j1 AS (
+         |  SELECT e.conv_id, e.event_ts, f.turn_idx, f.text_len,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN feat f ON f.conv_id = e.conv_id
+         |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR),
+         |j2 AS (
+         |  SELECT e.conv_id, e.event_ts, q.score,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN conv_quality q ON q.conv_id = e.conv_id AND q.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label,
+         |  j1.turn_idx AS turn_stats__turn_idx,
+         |  j1.text_len AS turn_stats__text_len,
+         |  j2.score * 100.0 AS qb__score_pct
+         |FROM entity e
+         |LEFT JOIN (SELECT * FROM j1 WHERE rn = 1) j1
+         |  ON j1.conv_id = e.conv_id AND j1.event_ts = e.event_ts
+         |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2
+         |  ON j2.conv_id = e.conv_id AND j2.event_ts = e.event_ts""".stripMargin),
     "sql_transform" -> withTables(
       s""", src AS (SELECT conv_id, ts, turn_idx, length(text) AS text_len
          |          FROM transcript WHERE role = 'assistant'),
@@ -865,6 +948,38 @@ object SparkEntry {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |    ' +', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin),
+    "stats_profile_validate" -> withTables(
+      s""", refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |refp AS (
+         |  SELECT 'n_chars' AS "column", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS ref_value FROM refd
+         |  UNION ALL SELECT 'n_chars', 'n_nonnull', CAST(count(n_chars) AS DOUBLE) FROM refd
+         |  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM refd
+         |  UNION ALL SELECT 'n_chars', 'mean', avg(n_chars) FROM refd
+         |  UNION ALL SELECT 'n_chars', 'stddev', stddev_samp(n_chars) FROM refd
+         |  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM refd
+         |  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM refd
+         |  UNION ALL SELECT 'n_chars', 'p50', quantile_cont(n_chars, 0.5) FROM refd
+         |  UNION ALL SELECT 'n_chars', 'p95', quantile_cont(n_chars, 0.95) FROM refd
+         |  UNION ALL SELECT 'lang', 'n_rows', CAST(count(*) AS DOUBLE) FROM refd
+         |  UNION ALL SELECT 'lang', 'n_nonnull', CAST(count(lang) AS DOUBLE) FROM refd
+         |  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM refd),
+         |gotp AS (
+         |  SELECT 'n_chars' AS "column", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS got_value FROM documents
+         |  UNION ALL SELECT 'n_chars', 'n_nonnull', CAST(count(n_chars) AS DOUBLE) FROM documents
+         |  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM documents
+         |  UNION ALL SELECT 'n_chars', 'mean', avg(n_chars) FROM documents
+         |  UNION ALL SELECT 'n_chars', 'stddev', stddev_samp(n_chars) FROM documents
+         |  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM documents
+         |  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM documents
+         |  UNION ALL SELECT 'n_chars', 'p50', quantile_cont(n_chars, 0.5) FROM documents
+         |  UNION ALL SELECT 'n_chars', 'p95', quantile_cont(n_chars, 0.95) FROM documents
+         |  UNION ALL SELECT 'lang', 'n_rows', CAST(count(*) AS DOUBLE) FROM documents
+         |  UNION ALL SELECT 'lang', 'n_nonnull', CAST(count(lang) AS DOUBLE) FROM documents
+         |  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents)
+         |SELECT r."column", r.metric, round(r.ref_value, 6) AS ref_value,
+         |  round(g.got_value, 6) AS got_value,
+         |  abs(g.got_value - r.ref_value) <= 1e-9 + 0.05 * abs(r.ref_value) AS passed
+         |FROM refp r JOIN gotp g ON r."column" = g."column" AND r.metric = g.metric""".stripMargin),
     "ann_topk" -> annTopkOracle,
     "ann_ivf" -> annTopkOracle,
     "ann_ivf_large" -> annTopkOracle,

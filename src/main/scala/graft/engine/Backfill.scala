@@ -80,14 +80,20 @@ object Backfill {
       val visible = partitions.slice(math.max(0, idx - lookbackPartitions), idx + 1)
       val t0 = System.currentTimeMillis()
       val slice = source.filter(col(partitionCol).cast("string").isin(visible: _*))
-      val outRaw = job(slice).filter(col(partitionCol).cast("string") === p)
-      // Observation metrics: output rows counted inside the write job itself
-      // (stays in whole-stage codegen — no second action, no accumulator map)
-      val obs = org.apache.spark.sql.Observation(s"backfill_$p")
-      outRaw.observe(obs, count(lit(1)).as("out_rows"))
+      // Observation metrics: input AND output rows counted inside the write
+      // job itself (stays in whole-stage codegen — no second action over the
+      // input, no accumulator map). The input observe sits on the slice so
+      // one pass yields both counts; a truthful input count has to see every
+      // slice row anyway, so the metrics barrier costs nothing the old
+      // separate `slice.count()` scan didn't.
+      val inObs = org.apache.spark.sql.Observation(s"backfill_in_$p")
+      val outObs = org.apache.spark.sql.Observation(s"backfill_out_$p")
+      val observed = slice.observe(inObs, count(lit(1)).as("in_rows"))
+      val outRaw = job(observed).filter(col(partitionCol).cast("string") === p)
+      outRaw.observe(outObs, count(lit(1)).as("out_rows"))
         .write.mode("overwrite").parquet(s"$outDir/$partitionCol=$p")
-      val outputRows = obs.get("out_rows").asInstanceOf[Long]
-      val inputRows = slice.count()
+      val outputRows = outObs.get("out_rows").asInstanceOf[Long]
+      val inputRows = inObs.get("in_rows").asInstanceOf[Long]
       val dur = System.currentTimeMillis() - t0
       val lineage = slice.inputFiles.toSeq.sorted
       writeManifest(checkpointDir, p, inputRows, outputRows, lineage, t0, dur)

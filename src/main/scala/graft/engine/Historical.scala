@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.{FeatureService, FeatureView}
+import graft.{FeatureService, FeatureView, OnDemandView}
 import graft.pit.PointInTimeJoin
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -18,6 +18,10 @@ object Historical {
     *        (utils.py:562 collision rule; dask.py:1062-1070)
     * @param transform optional ODFV-style post-retrieval row-level transform
     *        (on_demand_feature_view.py:1023 applied post-join)
+    * @param onDemand declared [[graft.OnDemandView]]s applied after assembly
+    *        with input isolation + request-column validation ([[OnDemand]]);
+    *        request columns are checked against the entity frame BEFORE any
+    *        retrieval work runs (utils.py:532-555)
     */
   def getHistoricalFeatures(
       entityDf: DataFrame,
@@ -27,9 +31,11 @@ object Historical {
       filterByCreatedTs: Boolean = false,
       transform: Option[DataFrame => DataFrame] = None,
       startDate: Option[java.sql.Timestamp] = None,
-      endDate: Option[java.sql.Timestamp] = None
+      endDate: Option[java.sql.Timestamp] = None,
+      onDemand: Seq[OnDemandView] = Nil
   ): DataFrame = {
     require(views.nonEmpty, "at least one feature view required")
+    OnDemand.requireRequestData(entityDf, onDemand)
     // Collision check mirroring utils.py:562: duplicate feature names across
     // views are an error unless fullFeatureNames is on.
     if (!fullFeatureNames) {
@@ -58,7 +64,8 @@ object Historical {
       PointInTimeJoin.enrich(acc, v, entityTsCol, fullFeatureNames,
         filterByCreatedTs, precomputedBounds = bounds)
     }
-    transform.map(_(out)).getOrElse(out)
+    val withOdfv = OnDemand.applyAll(out, onDemand, fullFeatureNames)
+    transform.map(_(withOdfv)).getOrElse(withOdfv)
   }
 
   /** Retrieval through a [[graft.FeatureService]]: each projection's

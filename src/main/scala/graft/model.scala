@@ -105,6 +105,35 @@ case class Projection(
   */
 case class FeatureService(name: String, projections: Seq[Projection])
 
+/** On-demand feature view (reference OnDemandFeatureView,
+  * sdk/python/feast/on_demand_feature_view.py:74): a post-retrieval
+  * row-level transform computed from *declared* input feature columns and
+  * request-time columns only.
+  *
+  * @param inputs      retrieved feature / entity columns the transform may
+  *                    read (the reference isolates transform inputs to the
+  *                    declared source columns, utils.py:820-844)
+  * @param requestCols request-time columns that must arrive with the entity
+  *                    frame (reference RequestSource, data_source.py:591);
+  *                    missing request data is an error before retrieval runs
+  * @param outputs     feature columns the transform appends (its schema,
+  *                    used for projection and full-name prefixing)
+  * @param sourceRefs  "view:feature" refs of the inputs, so a registry can
+  *                    pull the backing views when the ODFV is requested by
+  *                    ref (reference source_feature_view_projections)
+  * @param transform   the row-level transform; must append columns, never
+  *                    drop or re-key rows (the reference applies ODFVs to
+  *                    the assembled retrieval frame row-by-row)
+  */
+case class OnDemandView(
+    name: String,
+    inputs: Seq[String],
+    requestCols: Seq[String] = Nil,
+    outputs: Seq[String] = Nil,
+    sourceRefs: Seq[String] = Nil,
+    transform: DataFrame => DataFrame
+)
+
 /** Aggregation spec (reference: sdk/python/feast/aggregation/__init__.py:
   * 15-48): (column, function, optional time window, optional slide).
   * Supported functions: sum, max, min, count, avg/mean, count_distinct,

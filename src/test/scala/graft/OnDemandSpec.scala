@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.AnalysisException
+import graft.engine.{Historical, OnDemand, Registry}
+
+/** ODFV input isolation, RequestSource validation, and "view:feature"
+  * string-ref retrieval through the registry (reference utils.py:820-844,
+  * data_source.py:591, feature_store.py:1942-2142).
+  */
+class OnDemandSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val turns = Transcripts.synthetic(spark, nConvs = 6, turnsPerConv = 8, seed = 3L)
+
+  private def view = FeatureView("turn_stats",
+    turns.select(col("conv_id"), col("ts"), col("turn_idx"),
+      length(col("text")).as("text_len")),
+    Seq("conv_id"), "ts", None, 0L,
+    features = Seq("turn_idx", "text_len"), tieBreakCols = Seq("turn_idx"))
+
+  private val entity = turns.filter(col("turn_idx") === 7)
+    .select(col("conv_id"), col("ts").as("event_ts"))
+
+  test("ODFV sees only declared inputs: undeclared column reference fails analysis") {
+    val odfv = OnDemandView("bad",
+      inputs = Seq("turn_idx"),
+      transform = df => df.withColumn("leak", col("text_len") * 2))
+    val ex = intercept[AnalysisException] {
+      Historical.getHistoricalFeatures(entity, Seq(view), onDemand = Seq(odfv))
+        .collect()
+    }
+    assert(ex.getMessage.contains("text_len"), s"unexpected error: ${ex.getMessage}")
+  }
+
+  test("ODFV computes from declared inputs + request column; outputs appended") {
+    val e = entity.withColumn("req_mult", lit(3))
+    val odfv = OnDemandView("boost",
+      inputs = Seq("turn_idx"),
+      requestCols = Seq("req_mult"),
+      outputs = Seq("idx_boost"),
+      transform = df => df.withColumn("idx_boost", col("turn_idx") * col("req_mult")))
+    val out = Historical.getHistoricalFeatures(e, Seq(view), onDemand = Seq(odfv))
+    assert(out.columns.toSeq ==
+      Seq("conv_id", "event_ts", "req_mult", "turn_idx", "text_len", "idx_boost"))
+    assert(out.filter(col("idx_boost") =!= col("turn_idx") * 3).isEmpty)
+  }
+
+  test("missing request data fails BEFORE retrieval runs") {
+    val odfv = OnDemandView("boost",
+      inputs = Seq("turn_idx"), requestCols = Seq("req_mult"),
+      transform = df => df.withColumn("x", col("turn_idx") * col("req_mult")))
+    val ex = intercept[OnDemand.MissingRequestDataException] {
+      Historical.getHistoricalFeatures(entity, Seq(view), onDemand = Seq(odfv))
+    }
+    assert(ex.getMessage.contains("req_mult"))
+  }
+
+  test("ODFV transform dropping a column violates the append-only contract") {
+    val odfv = OnDemandView("dropper",
+      inputs = Seq("turn_idx", "text_len"),
+      transform = df => df.drop("text_len"))
+    val ex = intercept[IllegalArgumentException] {
+      Historical.getHistoricalFeatures(entity, Seq(view), onDemand = Seq(odfv))
+    }
+    assert(ex.getMessage.contains("text_len"))
+  }
+
+  test("registry resolves view refs, errors on unknown refs") {
+    val reg = new Registry().register(view)
+    val out = reg.getHistoricalFeatures(entity, Seq("turn_stats:turn_idx"))
+    assert(out.columns.toSeq == Seq("conv_id", "event_ts", "turn_idx"))
+    assert(out.count() == entity.count())
+    intercept[IllegalArgumentException] {
+      reg.getHistoricalFeatures(entity, Seq("nope:feature"))
+    }
+    intercept[IllegalArgumentException] {
+      reg.getHistoricalFeatures(entity, Seq("turn_stats:nope"))
+    }
+    intercept[IllegalArgumentException] {
+      reg.getHistoricalFeatures(entity, Seq("no-colon-ref"))
+    }
+  }
+
+  test("registry ODFV ref pulls backing views via sourceRefs; inputs projected away") {
+    val reg = new Registry()
+      .register(view)
+      .register(OnDemandView("od",
+        inputs = Seq("text_len"),
+        outputs = Seq("len_sq"),
+        sourceRefs = Seq("turn_stats:text_len"),
+        transform = df => df.withColumn("len_sq", col("text_len") * col("text_len"))))
+    val out = reg.getHistoricalFeatures(entity, Seq("turn_stats:turn_idx", "od:len_sq"))
+    // text_len retrieved for the ODFV but not requested -> projected away
+    assert(out.columns.toSeq == Seq("conv_id", "event_ts", "turn_idx", "len_sq"))
+    assert(out.filter(col("len_sq").isNull).isEmpty)
+    intercept[IllegalArgumentException] {
+      reg.getHistoricalFeatures(entity, Seq("od:not_an_output"))
+    }
+  }
+
+  test("registry fullFeatureNames prefixes view and ODFV outputs") {
+    val reg = new Registry()
+      .register(view)
+      .register(OnDemandView("od",
+        inputs = Seq("text_len"),
+        outputs = Seq("len_sq"),
+        sourceRefs = Seq("turn_stats:text_len"),
+        transform = df => df.withColumn("len_sq", col("text_len") * col("text_len"))))
+    val out = reg.getHistoricalFeatures(entity,
+      Seq("turn_stats:turn_idx", "od:len_sq"), fullFeatureNames = true)
+    assert(out.columns.toSeq ==
+      Seq("conv_id", "event_ts", "turn_stats__turn_idx", "od__len_sq"))
+    assert(out.filter(col("od__len_sq").isNull).isEmpty)
+  }
+
+  test("registered service retrieval by name") {
+    val reg = new Registry()
+      .register(FeatureService("svc", Seq(Projection(view, features = Seq("turn_idx")))))
+    val out = reg.getHistoricalFeaturesService(entity, "svc", fullFeatureNames = true)
+    assert(out.columns.toSeq == Seq("conv_id", "event_ts", "turn_stats__turn_idx"))
+    intercept[IllegalArgumentException] {
+      reg.getHistoricalFeaturesService(entity, "nope")
+    }
+  }
+}
