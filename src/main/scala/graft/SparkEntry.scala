@@ -191,6 +191,50 @@ object SparkEntry {
         Seq("turn_stats:turn_idx", "turn_stats:text_len", "qb:score_pct"),
         fullFeatureNames = true)
     }),
+    // Derived-view DAG (BatchFeatureView.source_views;
+    // feature_resolver.py:40-80): turns -> assistant_turns (filter+project)
+    // -> conv_running (cumulative assistant-turn count), resolved by
+    // ViewResolver through the registry into ONE lazy plan and PIT-joined
+    // like any view.
+    "derived_view" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val reg = new Registry()
+        .register(FeatureView("turns", Transcripts.fromEvents(s, dir),
+          Seq("conv_id"), "ts"))
+        .register(DerivedViewSpec("assistant_turns", Seq("turns"),
+          derive = srcs => srcs.head.filter(col("role") === "assistant")
+            .select(col("conv_id"), col("ts"), col("turn_idx"),
+              length(col("text")).as("text_len")),
+          joinKeys = Seq("conv_id"), tsCol = "ts"))
+        .register(DerivedViewSpec("conv_running", Seq("assistant_turns"),
+          derive = srcs => srcs.head.withColumn("asst_cum",
+            count(lit(1)).over(Window.partitionBy(col("conv_id"))
+              .orderBy(col("ts"), col("turn_idx"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+          joinKeys = Seq("conv_id"), tsCol = "ts",
+          features = Seq("asst_cum", "text_len"),
+          tieBreakCols = Seq("turn_idx")))
+      reg.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq("conv_running:asst_cum", "conv_running:text_len"))
+    }),
+    // Avro wire-format roundtrip over the transcript: encode each turn as a
+    // binary Avro record, decode through the stream-ingest Avro branch
+    // (spark_kafka_processor.py:106-130 message_format=avro). Hash-matching
+    // the raw transcript proves the codec is the identity across the type
+    // surface incl. the nullable union (tool) and local-timestamp-micros.
+    "stream_avro_roundtrip" -> ((s, dir) => {
+      val schema =
+        """{"type":"record","name":"TurnEvent","fields":[
+          |{"name":"conv_id","type":"string"},
+          |{"name":"turn_idx","type":"int"},
+          |{"name":"role","type":"string"},
+          |{"name":"text","type":"string"},
+          |{"name":"tool","type":["null","string"],"default":null},
+          |{"name":"ts","type":{"type":"long","logicalType":"local-timestamp-micros"}}]}""".stripMargin
+      streaming.StreamIngest.decodeAvro(
+        streaming.AvroCodec.encode(Transcripts.fromEvents(s, dir), schema), schema)
+    }),
     // SQL-mode view transform (U4; transformation/spark_transformation.py:
     // 11-120 SPARK_SQL mode): the view source is a spark.sql query over a
     // temp view of the raw transcript.
@@ -731,6 +775,24 @@ object SparkEntry {
          |  ON j1.conv_id = e.conv_id AND j1.event_ts = e.event_ts
          |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2
          |  ON j2.conv_id = e.conv_id AND j2.event_ts = e.event_ts""".stripMargin),
+    "derived_view" -> withTables(
+      s""", asst AS (SELECT conv_id, ts, turn_idx, length(text) AS text_len
+         |           FROM transcript WHERE role = 'assistant'),
+         |run AS (SELECT conv_id, ts, turn_idx, text_len,
+         |  count(*) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asst_cum
+         |  FROM asst),
+         |j AS (
+         |  SELECT e.conv_id, e.event_ts, r.asst_cum, r.text_len,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY r.ts DESC, r.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN run r ON r.conv_id = e.conv_id AND r.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label, j.asst_cum, j.text_len
+         |FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
+    "stream_avro_roundtrip" -> withTables(
+      "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcript"),
     "sql_transform" -> withTables(
       s""", src AS (SELECT conv_id, ts, turn_idx, length(text) AS text_len
          |          FROM transcript WHERE role = 'assistant'),

@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.{FeatureService, FeatureView, OnDemandView, Projection}
+import graft.{DerivedViewSpec, FeatureService, FeatureView, OnDemandView, Projection}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import scala.collection.mutable
@@ -26,15 +26,23 @@ final class Registry {
   private val views = mutable.LinkedHashMap[String, FeatureView]()
   private val odfvs = mutable.LinkedHashMap[String, OnDemandView]()
   private val services = mutable.LinkedHashMap[String, FeatureService]()
+  private val derivations = mutable.LinkedHashMap[String, DerivedViewSpec]()
 
   /** `feast apply` analog: register (or replace) a definition. */
   def register(v: FeatureView): this.type = { views(v.name) = v; this }
   def register(v: OnDemandView): this.type = { odfvs(v.name) = v; this }
   def register(s: FeatureService): this.type = { services(s.name) = s; this }
+  def register(d: DerivedViewSpec): this.type = { derivations(d.name) = d; this }
 
+  /** Looks through derivations: a derived name resolves its DAG
+    * ([[ViewResolver]]) into a concrete view, so derived views are
+    * first-class retrieval targets for every `"view:feature"` ref.
+    */
   def featureView(name: String): FeatureView =
-    views.getOrElse(name,
-      throw new UnknownFeatureRefException(s"feature view '$name' not registered"))
+    if (derivations.contains(name) || views.contains(name))
+      ViewResolver.resolve(name, views.get, derivations.get)
+    else
+      throw new UnknownFeatureRefException(s"feature view '$name' not registered")
   def onDemandView(name: String): OnDemandView =
     odfvs.getOrElse(name,
       throw new UnknownFeatureRefException(s"on-demand view '$name' not registered"))

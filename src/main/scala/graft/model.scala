@@ -134,6 +134,34 @@ case class OnDemandView(
     transform: DataFrame => DataFrame
 )
 
+/** A feature view DERIVED from other views' data (reference
+  * BatchFeatureView.source_views, sdk/python/feast/batch_feature_view.py;
+  * resolved into an execution DAG by
+  * infra/compute_engines/feature_resolver.py:40-80).
+  *
+  * `derive` receives the resolved source DataFrames of `sourceViews` in
+  * declaration order and returns this view's source DataFrame. Everything
+  * stays a lazy logical plan: resolving a derivation chain composes ONE
+  * Catalyst plan end-to-end (filters still push down through the hops, and
+  * a diamond dependency resolves its shared upstream once), so derivation
+  * depth adds zero extra scans or actions at any scale.
+  *
+  * The remaining fields carry the same meaning as on [[FeatureView]]; the
+  * resolver turns a spec into a concrete FeatureView with the derived
+  * source bound.
+  */
+case class DerivedViewSpec(
+    name: String,
+    sourceViews: Seq[String],
+    derive: Seq[DataFrame] => DataFrame,
+    joinKeys: Seq[String],
+    tsCol: String,
+    createdTsCol: Option[String] = None,
+    ttlSeconds: Long = 0L,
+    features: Seq[String] = Nil,
+    tieBreakCols: Seq[String] = Nil
+)
+
 /** Aggregation spec (reference: sdk/python/feast/aggregation/__init__.py:
   * 15-48): (column, function, optional time window, optional slide).
   * Supported functions: sum, max, min, count, avg/mean, count_distinct,

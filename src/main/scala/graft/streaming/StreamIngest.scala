@@ -34,6 +34,15 @@ object StreamIngest {
       .select(from_json(col("value").cast("string"), schema).as("__r"))
       .select(col("__r.*"))
 
+  /** Kafka-style decode, Avro branch (reference `message_format=avro`,
+    * spark_kafka_processor.py:106-130 via `from_avro`): binary `value`
+    * column → typed columns from the writer schema. The connector-free
+    * bridge lives in [[AvroCodec]] (avro core is on the classpath; the
+    * spark-avro module is not — README "Environment limits").
+    */
+  def decodeAvro(stream: DataFrame, schemaJson: String): DataFrame =
+    AvroCodec.decode(stream, "value", schemaJson)
+
   /** Distributed per-batch dedup-to-latest (reference ST2,
     * spark_kafka_processor.py:138-153: sort desc + groupby.nth(0)): one row
     * per key — the max over (tsCol, tiebreaks) — computed with a
