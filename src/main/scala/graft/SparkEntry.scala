@@ -235,6 +235,31 @@ object SparkEntry {
       streaming.StreamIngest.decodeAvro(
         streaming.AvroCodec.encode(Transcripts.fromEvents(s, dir), schema), schema)
     }),
+    // ST2 core, oracle-checked: the distributed per-batch dedup-to-latest
+    // (max_by over (ts, tiebreaks)) applied to the transcript as one batch
+    // (spark_kafka_processor.py:138-153 — its toPandas driver-side sort
+    // replaced by a partial-aggregable max_by).
+    "stream_ingest_batch" -> ((s, dir) =>
+      streaming.StreamIngest.latestPerKeyBatch(
+        Transcripts.fromEvents(s, dir), Seq("conv_id"), "ts",
+        Seq("turn_idx"), java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+        .withColumn("created_ts", col("created_ts").cast("timestamp_ntz"))),
+    // S6 + P11 offline append sink, oracle-checked as a write/read-back
+    // round trip: schema-aligned append (int->bigint cast, struct->JSON
+    // string) to a fresh dir, then read back (spark.py:357-407 cast helper
+    // :1691-1706; struct serialization offline_utils.py:305-333).
+    "sink_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val t = Transcripts.fromEvents(s, dir)
+        .withColumn("meta", struct(col("turn_idx"), col("role")))
+      val target = StructType(Seq(
+        StructField("conv_id", StringType), StructField("turn_idx", LongType),
+        StructField("meta", StringType), StructField("ts", TimestampNTZType)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sink").toString + "/out"
+      sources.Sinks.appendWithSchemaCast(t, target, path)
+      s.read.parquet(path)
+    }),
     // SQL-mode view transform (U4; transformation/spark_transformation.py:
     // 11-120 SPARK_SQL mode): the view source is a spark.sql query over a
     // temp view of the raw transcript.
@@ -793,6 +818,16 @@ object SparkEntry {
          |  ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts""".stripMargin),
     "stream_avro_roundtrip" -> withTables(
       "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcript"),
+    "stream_ingest_batch" -> withTables(
+      s""", r AS (SELECT *, row_number() OVER (PARTITION BY conv_id
+         |           ORDER BY ts DESC, turn_idx DESC) AS rn FROM transcript)
+         |SELECT conv_id, turn_idx, role, text, tool, ts,
+         |  TIMESTAMP '2026-02-01 00:00:00' AS created_ts
+         |FROM r WHERE rn = 1""".stripMargin),
+    "sink_roundtrip" -> withTables(
+      s"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |  to_json(struct_pack(turn_idx := turn_idx, role := role)) AS meta, ts
+         |FROM transcript""".stripMargin),
     "sql_transform" -> withTables(
       s""", src AS (SELECT conv_id, ts, turn_idx, length(text) AS text_len
          |          FROM transcript WHERE role = 'assistant'),
