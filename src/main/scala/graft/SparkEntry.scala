@@ -399,6 +399,24 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       text.TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
+    // Gopher-style repetition quality signals — a zero-shuffle array fold
+    // (dup-word/dup-bigram fractions; top-bigram character mass).
+    "text_repetition" -> ((s, dir) =>
+      text.TextAnalysis.repetitionSignals(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // Train/eval decontamination: benchmark = every 5th doc; training docs
+    // sharing any word-5-gram with the benchmark set are dropped (13-gram
+    // is the production default; 5 keeps overlap non-trivial at test
+    // scale). Benchmark shingle set is broadcast — the train corpus never
+    // shuffles.
+    "decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      text.Decontaminate.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", n = 5)
+        .select(col("doc_id"))
+    }),
     // North-rule invariant as an oracle-checked query: per-turn text
     // equality under stable (conv_id, turn_idx) ordering — every turn text
     // of every conversation, concatenated in turn order, must match the
@@ -1045,6 +1063,31 @@ object SparkEntry {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |    ' +', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin),
+    "text_repetition" -> withTables(
+      """, tok AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws FROM documents),
+        |wstat AS (SELECT doc_id, nc, len(ws) AS nw, len(list_distinct(ws)) AS nwd FROM tok),
+        |bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM tok)),
+        |bgrp AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nb, count(*) AS nbd,
+        |                 max(cnt * length(g)) AS best FROM bgrp GROUP BY 1)
+        |SELECT w.doc_id, CAST(w.nw AS INT) AS n_words,
+        |  round((w.nw - w.nwd) * 1.0 / w.nw, 6) AS dup_word_frac,
+        |  round((coalesce(b.nb, 0) - coalesce(b.nbd, 0)) * 1.0
+        |        / greatest(coalesce(b.nb, 0), 1), 6) AS dup_bigram_frac,
+        |  round(coalesce(b.best, 0) * 1.0 / w.nc, 6) AS top_bigram_char_frac
+        |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin),
+    "decontaminate" -> withTables(
+      """, bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |btok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM bench),
+        |bsh AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS g
+        |        FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM btok)),
+        |ttok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
+        |tsh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM ttok)),
+        |contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (g))
+        |SELECT doc_id FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin),
     "stats_profile_validate" -> withTables(
       s""", refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
          |refp AS (

@@ -101,6 +101,56 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
         " +", " "))).as("fingerprint"))
 
+  /** Repetition-based quality signals (the Gopher-rule family): per
+    * document,
+    *   - `dup_word_frac`     — fraction of word occurrences beyond each
+    *     word's first (1 − distinct/total),
+    *   - `dup_bigram_frac`   — same over word 2-grams,
+    *   - `top_bigram_char_frac` — characters covered by the most repeated
+    *     2-gram (count × gram length) over total characters.
+    *
+    * Zero-shuffle: every metric is an array program over the tokenized
+    * text (array_distinct sizes; the top-gram mass via a fold over the
+    * SORTED gram array, where a gram's sorted-adjacency run length is its
+    * occurrence count) — a narrow map that scales embarrassingly. The
+    * explode-and-groupBy formulation would shuffle every gram of a 100 TB
+    * corpus twice for the same answer.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nW = size(ws)
+    val bigrams = when(nW >= 2,
+      transform(sequence(lit(0), nW - 2),
+        i => array_join(slice(ws, i + 1, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val nB = size(bigrams)
+    // max over grams of count(gram) * length(gram), via one pass over the
+    // sorted array: state (prev gram, current run, best closed mass)
+    val bestMass = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val same = st.getField("prev") === x
+        val closed = st.getField("run") * length(st.getField("prev")).cast("long")
+        struct(
+          x.as("prev"),
+          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, st.getField("best"))
+            .otherwise(greatest(st.getField("best"), closed)).as("best"))
+      },
+      st => greatest(st.getField("best"),
+        st.getField("run") * length(st.getField("prev")).cast("long")))
+    df.select(
+      col(idCol),
+      nW.as("n_words"),
+      round((nW - size(array_distinct(ws))) / nW.cast("double"), 6)
+        .as("dup_word_frac"),
+      round((nB - size(array_distinct(bigrams))) / greatest(nB, lit(1)).cast("double"), 6)
+        .as("dup_bigram_frac"),
+      round(bestMass / length(col(textCol)).cast("double"), 6)
+        .as("top_bigram_char_frac"))
+  }
+
   /** Corpus n-gram statistics: the `k` word-`n`-grams with the highest
     * document frequency (distinct-docs count), ties broken alphabetically.
     * The frequency profile a pipeline uses for contamination screens and

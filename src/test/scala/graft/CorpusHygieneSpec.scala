@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Decontaminate, TextAnalysis}
+
+/** Repetition quality signals and train/eval decontamination — hand-computed
+  * goldens on tiny corpora plus the structural properties that matter at
+  * scale (decontamination never drops a clean doc; overlap threshold).
+  */
+class CorpusHygieneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("repetitionSignals: hand-computed fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"),      // words: 6, distinct 2; bigrams: 5 ("a b"×3, "b a"×2)
+      (2L, "x y z w"),          // all unique
+      (3L, "q q q q")           // one word repeated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Double, Double, Double)].collect()
+
+    // doc 1: dup_word = (6-2)/6; bigrams 5 total, 2 distinct -> (5-2)/5;
+    // top bigram "a b" count 3 * len 3 = 9 chars over 11 chars of text
+    assert(out(0) == ((1L, 6, 0.666667, 0.6, round6(9.0 / 11))))
+    // doc 2: nothing repeats
+    assert(out(1) == ((2L, 4, 0.0, 0.0, round6(3.0 / 7))))
+    // doc 3: dup_word = 3/4; bigrams "q q"×3 -> (3-1)/3; mass 3*3=9 over 7
+    assert(out(2) == ((3L, 4, 0.75, 0.666667, round6(9.0 / 7))))
+  }
+
+  test("repetitionSignals: single-word doc degenerates safely") {
+    val out = TextAnalysis.repetitionSignals(
+        Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(out == ((1L, 1, 0.0, 0.0, 0.0)))
+  }
+
+  test("decontaminate drops exactly the overlapping train docs") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "totally unrelated text about cooking pasta dinner tonight"),
+      (2L, "leaked copy the secret benchmark answer is forty two exactly here"),
+      (3L, "another clean document with its own fresh words only")
+    ).toDF("doc_id", "text")
+    val kept = Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"doc 2 shares a 5-gram with the benchmark; got $kept")
+  }
+
+  test("minOverlap raises the bar to >= k shared shingles") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    // shares exactly one 5-gram window with the benchmark
+    val train = Seq((1L, "alpha beta gamma delta epsilon completely different tail here")).toDF("doc_id", "text")
+    val one = Decontaminate.contaminationOverlap(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect()
+    assert(one.toSeq == Seq((1L, 1L)))
+    val kept = Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 5, minOverlap = 2)
+      .select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L), "below the overlap threshold the doc survives")
+  }
+
+  test("decontamination plan broadcasts the benchmark shingle set") {
+    val docs = (0L until 50L).map(i => (i, s"w${i} x${i} y${i} z${i} common tail words here")).toDF("doc_id", "text")
+    val plan = Decontaminate.decontaminate(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", n = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side should broadcast:\n$plan")
+  }
+
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+}
