@@ -371,11 +371,22 @@ object SparkEntry {
       sample.Sampling.hashSplit(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
-    // Deterministic per-language stratified 20% sample.
+    // Deterministic per-language stratified 20% sample (salted two-level
+    // rank — hot-stratum-safe, byte-identical to the single-window draw).
     "sample_stratified" -> ((s, dir) =>
       sample.Sampling.stratifiedSample(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
         "doc_id", Seq("lang"), 0.2)),
+    // Concat-and-chunk sequence packing: deterministic md5 order in 16
+    // hash-bucket substreams, 512-token context windows; emits the
+    // (bucket, chunk, offset) manifest a trainer consumes.
+    "sample_pack" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      sample.Packing.packSequences(
+        text.TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_bpe_tokens")),
+        "doc_id", "n_bpe_tokens", capacity = 512L, numBuckets = 16)
+    }),
     "text_language_id" -> ((s, dir) =>
       text.TextAnalysis.languageId(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
@@ -998,6 +1009,26 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin),
+    // hex→int without engine-specific cast syntax: positional strpos over
+    // the hex alphabet (mm_featurize uses the same trick)
+    "sample_pack" -> withTables(
+      """, tc AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |b AS (SELECT doc_id, n_tokens, key,
+        |    CAST(((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(key, 3, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(key, 4, 1)) - 1)) % 16 AS INT) AS bucket
+        |  FROM tc),
+        |c AS (SELECT doc_id, n_tokens, bucket,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM b)
+        |SELECT doc_id, n_tokens, bucket,
+        |  (cum - n_tokens) // 512 AS pack_first,
+        |  (cum - 1) // 512 AS pack_last,
+        |  (cum - n_tokens) % 512 AS pack_offset
+        |FROM c""".stripMargin),
     "sample_stratified" -> withTables(
       """, r AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,60 @@
+package graft.sample
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic concat-and-chunk sequence packing — the standard
+  * pretraining layout step: documents are laid out in a reproducible
+  * pseudo-random order, token counts accumulate, and context windows of
+  * `capacity` tokens are cut at fixed boundaries (documents may straddle a
+  * boundary; training consumers mask across the seam). The reference has
+  * no packing operator; a 100 TB corpus engine needs one to emit
+  * shard/offset manifests for the trainer.
+  *
+  * Scale shape: one shuffle keyed on (bucket) where bucket =
+  * md5-prefix(id) mod `numBuckets` — the stream is decomposed into
+  * `numBuckets` independent deterministic substreams so the cumulative
+  * sum never serializes through a single task; raise `numBuckets` with
+  * corpus size (each bucket is one window task). Order within a bucket is
+  * (md5(id), id): fully deterministic, engine-portable, and append-stable
+  * hashes — the same doc always lands at the same position given the same
+  * corpus.
+  */
+object Packing {
+
+  /** Pack layout manifest: for every document,
+    * (id, n_tokens, bucket, pack_first, pack_last, pack_offset) where
+    * pack_first/pack_last are the chunk indices (within the bucket) of the
+    * doc's first/last token and pack_offset is the token offset of the doc
+    * inside its first chunk. `tokensCol` is any positive token count
+    * (e.g. [[graft.text.TextAnalysis.tokenCounts]] output).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      capacity: Long,
+      numBuckets: Int = 256
+  ): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(numBuckets > 0, "numBuckets must be positive")
+    val key = md5(col(idCol).cast("string"))
+    val bucket = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(numBuckets))
+      .cast("int")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__key"), col(idCol))
+    df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
+        key.as("__key"), bucket.as("bucket"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("bucket"),
+        // integer `div`, not fp `/`: a 100 TB corpus overflows double
+        // mantissa precision long before it overflows a long
+        expr(s"__start div ${capacity}L").as("pack_first"),
+        expr(s"(__cum - 1) div ${capacity}L").as("pack_last"),
+        pmod(col("__start"), lit(capacity)).as("pack_offset"))
+  }
+}

@@ -59,22 +59,46 @@ object Sampling {
 
   /** Deterministic stratified sample: exactly ceil(fraction × |stratum|)
     * rows per stratum, chosen by md5-of-id order (a reproducible uniform
-    * draw). One shuffle on the strata key; per-stratum `row_number` +
-    * windowed count in a single window exchange.
+    * draw).
     *
-    * Skew note: a stratum is processed on one task — for the hot-stratum
-    * case (one language = 90 % of a 100 TB corpus) prefer [[hashSample]]
-    * per stratum (zero-shuffle, approximate counts) over the exact window.
+    * Hot-stratum-safe by construction: a naive per-stratum window ranks a
+    * whole stratum on ONE task (fatal when one language is 90 % of a
+    * 100 TB corpus). Here the global md5 order is decomposed as
+    * (salt, key) where salt = the key's first `saltDigits` hex digits —
+    * a prefix, so ordering by (salt, key) IS ordering by key — and the
+    * stratum rank is computed as
+    *   rank = offset(stratum, salt) + local row_number within (stratum, salt)
+    * with offsets from a tiny per-(stratum, salt) count aggregate (map-side
+    * combined; |strata|·16^saltDigits rows). Every shuffle and window runs
+    * at (stratum, salt) granularity, so per-task work shrinks 16^saltDigits×
+    * for the hottest stratum while the selected rows stay byte-identical to
+    * the single-window formulation.
     */
   def stratifiedSample(
-      df: DataFrame, idCol: String, strataCols: Seq[String], fraction: Double): DataFrame = {
+      df: DataFrame, idCol: String, strataCols: Seq[String], fraction: Double,
+      saltDigits: Int = 1): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val cw = Window.partitionBy(strataCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(cw))
+    require(saltDigits >= 1 && saltDigits <= 4, "saltDigits must be in [1, 4]")
+    val strata = strataCols.map(col)
+    val key = md5(col(idCol).cast("string"))
+    val salt = substring(key, 1, saltDigits)
+
+    val keyed = df.withColumn("__key", key).withColumn("__salt", salt)
+    // per-(stratum, salt) counts -> exclusive running offset + stratum total
+    val saltW = Window.partitionBy(strata: _*).orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(strata: _*)
+    val offsets = keyed.groupBy(strata :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(saltW), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(totW))
+      .drop("__cnt")
+    val localW = Window.partitionBy(strata :+ col("__salt"): _*)
+      .orderBy(col("__key"), col(idCol))
+    keyed
+      .join(broadcast(offsets), strataCols :+ "__salt")
+      .withColumn("__rn", col("__offset") + row_number().over(localW))
       .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
+      .select(df.columns.map(col): _*)
   }
 }

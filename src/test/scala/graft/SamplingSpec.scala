@@ -52,4 +52,50 @@ class SamplingSpec extends SparkTestBase {
     val again = Sampling.stratifiedSample(df, "doc_id", Seq("lang"), 0.17)
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
+
+  test("stratifiedSample: salted two-level rank equals the single-window selection") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 1000L).map(i => (i, if (i % 10 == 0) "rare" else "hot"))
+      .toDF("doc_id", "lang")
+    // naive formulation: one window per stratum (the hot-stratum-unsafe shape)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("__rn") <= ceil(col("__n") * 0.23))
+      .select("doc_id", "lang")
+    for (digits <- Seq(1, 2)) {
+      val salted = Sampling.stratifiedSample(df, "doc_id", Seq("lang"), 0.23, saltDigits = digits)
+      assert(salted.except(naive).isEmpty && naive.except(salted).isEmpty,
+        s"saltDigits=$digits must select byte-identical rows")
+    }
+  }
+
+  test("packSequences: layout invariants and cross-check vs single-stream cumsum") {
+    val docs = (0L until 400L).map(i => (i, 1L + i % 97)).toDF("doc_id", "n_tok")
+    val packed = sample.Packing.packSequences(docs, "doc_id", "n_tok",
+      capacity = 128L, numBuckets = 8)
+    val rows = packed.as[(Long, Long, Int, Long, Long, Long)].collect()
+    assert(rows.length == 400)
+    assert(rows.forall { case (_, n, _, f, l, off) =>
+      off >= 0 && off < 128 && f <= l && l == (off + n - 1 + f * 128) / 128
+    }, "offset within capacity; chunk span consistent with token count")
+    // per bucket, documents tile the token stream with no gaps or overlaps
+    val byBucket = rows.groupBy(_._3)
+    byBucket.foreach { case (b, ds) =>
+      val total = ds.map(_._2).sum
+      val lastEnd = ds.map { case (_, n, _, f, _, off) => f * 128 + off + n }.max
+      assert(lastEnd == total, s"bucket $b stream must be gap-free")
+    }
+    // equals a directly computed cumsum over the same (md5, id) order
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(col("doc_id").cast("string"))
+    val bucket = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(8)).cast("int")
+    val direct = docs.select(col("doc_id"), col("n_tok"), key.as("k"), bucket.as("b"))
+      .withColumn("cum", sum(col("n_tok")).over(
+        Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), ((col("cum") - col("n_tok")) % 128).as("off"))
+    val got = packed.select(col("doc_id"), col("pack_offset").as("off"))
+    assert(got.except(direct).isEmpty && direct.except(got).isEmpty)
+  }
 }
