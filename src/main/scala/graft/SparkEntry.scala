@@ -343,11 +343,15 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       text.Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 3, threshold = 0.8)),
-    // SimHash Hamming-≤3 pairs (no portable SQL oracle: xxhash64-based —
-    // rows-only driver check; DedupSpec verifies semantics).
+    // SimHash Hamming-≤3 pairs. The engine default hashes tokens with
+    // xxhash64; here tokens hash through a 60-bit md5 prefix instead, which
+    // DuckDB can recompute bit-for-bit — turning the approximate-looking
+    // operator into a hash-checked one (the banded join is exact-recall for
+    // Hamming ≤ k, so the full pipeline is deterministic).
     "dedup_simhash" -> ((s, dir) =>
       text.Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", maxHamming = 3)),
+        "doc_id", "text", maxHamming = 3,
+        tokenHash = t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))),
     // Connected components over the near-dup pair graph (min-label
     // propagation): cluster_id = min doc id reachable through pairs. Pair
     // input is the LSH scale path (O(candidates), not O(pairs)); it matches
@@ -538,6 +542,105 @@ object SparkEntry {
           relTol = 0.05, exact = true)
         .withColumn("ref_value", round(col("ref_value"), 6))
         .withColumn("got_value", round(col("got_value"), 6))
+    }),
+    // J8: DAG-path multi-view key join — key-level feature frames joined on
+    // shared join keys with view__ prefixes, then left-joined to the entity
+    // universe (spark/nodes.py:399-460).
+    "multiview_key_join" -> ((s, dir) => {
+      val f1 = Aggregations.grouped(transcriptLen(s, dir), Seq("conv_id"), Seq(
+        Aggregation("text_len", "count", alias = Some("n_turns"))))
+      val f2 = Transcripts.convQuality(s, dir)
+        .groupBy(col("conv_id")).agg(max(col("score")).as("max_score"))
+      Historical.joinViewsOnKeys(
+        Transcripts.entityFrame(s, dir).select(col("conv_id")).distinct(),
+        Seq("conv_id"), Seq("turns" -> f1, "quality" -> f2))
+    }),
+    // U2: python-mode row transform equivalent — typed Dataset[Turn] with a
+    // JVM map (the deliberate codegen opt-out surface; everything else in
+    // the engine stays in Catalyst).
+    "typed_map" -> ((s, dir) => {
+      import s.implicits._
+      Transcripts.fromEvents(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp")).as[Turn]
+        .map(t => (t.conv_id, t.turn_idx, t.role,
+          if (t.tool != null) 1 else 0, t.text.length))
+        .toDF("conv_id", "turn_idx", "role", "is_tool", "text_len")
+    }),
+    // P6 end-to-end: the transcript written as date-partitioned parquet;
+    // the view declares the partition column and the PIT join derives
+    // partition predicates from the entity range + TTL, so the scan prunes
+    // whole day-directories (PartitionPruningSpec asserts the file-level
+    // pruning; this query proves the pruned retrieval is byte-identical to
+    // pit_latest_turn).
+    "pit_partition_pruned" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_part").toString + "/turns"
+      Transcripts.fromEvents(s, dir)
+        .withColumn("ds", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("ds").parquet(path)
+      val src = s.read.parquet(path).select(
+        col("conv_id"), col("ts"), col("turn_idx"), col("role"),
+        length(col("text")).as("text_len"),
+        col("tool").isNotNull.as("is_tool"),
+        col("ts").as("turn_ts"), col("ds"))
+      Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(FeatureView("turn_stats", src, Seq("conv_id"), "ts", None, 4 * 3600L,
+          features = Seq("turn_idx", "role", "text_len", "is_tool", "turn_ts"),
+          tieBreakCols = Seq("turn_idx"), datePartitionCol = Some("ds"))))
+    }),
+    // S9: saved-dataset round trip — persist the flagship retrieval, read
+    // it back (saved_dataset.py:78; spark.py:1098-1148).
+    "saved_dataset_roundtrip" -> ((s, dir) => {
+      val res = Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(turnStatsView(s, dir, ttlSec = 4 * 3600L)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_saved").toString + "/ds"
+      sources.Sinks.saveDataset(res, path)
+      sources.Sinks.loadDataset(s, path)
+    }),
+    // S8: remote-storage export — stage as parquet, hand off the data-file
+    // list, read exactly those files back (spark.py:1153-1201).
+    "export_roundtrip" -> ((s, dir) => {
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_export").toString + "/stage"
+      val files = sources.Sinks.exportToStaging(
+        Transcripts.convQuality(s, dir), staging)
+      s.read.parquet(files: _*)
+    }),
+    // S10: feature-logging sink — served rows stamped with a deterministic
+    // request id + log timestamp, appended and read back
+    // (feature_logging.py:28-146).
+    "feature_logging" -> ((s, dir) => {
+      val served = Materialize.latestPerKey(convQualityView(s, dir),
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00")).drop("event_id")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_log").toString + "/log"
+      sources.Sinks.logFeatures(served, "req-42",
+        java.sql.Timestamp.valueOf("2026-02-01 00:00:00"), path)
+      s.read.parquet(path)
+        .withColumn("__log_timestamp", col("__log_timestamp").cast("timestamp_ntz"))
+    }),
+    // S7/U7: executor-side write path — one writer per partition streams
+    // its rows to a file (the online-store client shape), then the written
+    // data is read back through a schema'd csv scan (spark/utils.py:128-225).
+    "foreach_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+      val served = Transcripts.convQuality(s, dir)
+        .select(col("conv_id"), col("event_id"), col("score"))
+      sources.Sinks.foreachPartitionSink(served, rows => {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val w = new java.io.PrintWriter(s"$out/part-$pid.csv")
+        var n = 0L
+        rows.foreach { r =>
+          w.println(s"${r.getString(0)},${r.getLong(1)},${r.getDouble(2)}")
+          n += 1
+        }
+        w.close(); n
+      })
+      s.read.schema("conv_id string, event_id bigint, score double").csv(out)
     }),
     // W5: union-distinct entity discovery across views.
     "union_entity_discovery" -> ((s, dir) =>
@@ -985,6 +1088,26 @@ object SparkEntry {
         |      FROM h GROUP BY 1)
         |SELECT h.doc_id, g.canonical_id, h.content_hash
         |FROM h JOIN g USING (content_hash) WHERE g.c > 1""".stripMargin),
+    // 60-bit md5-prefix SimHash recomputed bit-for-bit: ±1 votes per
+    // (token occurrence, bit), sign → signature, all-pairs Hamming ≤ 3
+    // (fine at oracle scale; the Spark side uses the banded join)
+    "dedup_simhash" -> withTables(
+      """, tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, substr(md5(t), 1, 15) AS hh FROM tok),
+        |bits AS (SELECT doc_id, k,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(hh, 15 - k // 4, 1)) - 1)
+        |               // (CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+        |         THEN 1 ELSE -1 END AS pm
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS k)),
+        |sums AS (SELECT doc_id, k, sum(pm) AS s FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM sums GROUP BY 1)
+        |SELECT a, b, hamming FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+        |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+        |WHERE hamming <= 3""".stripMargin),
     "dedup_ngram_pairs" -> ngramPairsOracle,
     "dedup_minhash_lsh" -> ngramPairsOracle,
     "dedup_clusters" ->
@@ -1204,6 +1327,36 @@ object SparkEntry {
     "stats_distinct" -> withTables(
       """SELECT count(DISTINCT event_type) AS n_distinct,
         |  count(event_type) AS n_nonnull FROM events""".stripMargin),
+    "multiview_key_join" -> withTables(
+      """SELECT e.conv_id, t.n_turns AS turns__n_turns,
+        |  q.max_score AS quality__max_score
+        |FROM (SELECT DISTINCT conv_id FROM entity) e
+        |LEFT JOIN (SELECT conv_id, count(text_len) AS n_turns FROM tlen GROUP BY 1) t
+        |  USING (conv_id)
+        |LEFT JOIN (SELECT conv_id, max(score) AS max_score FROM conv_quality GROUP BY 1) q
+        |  USING (conv_id)""".stripMargin),
+    "typed_map" -> withTables(
+      """SELECT conv_id, turn_idx, role,
+        |  CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS is_tool,
+        |  CAST(length(text) AS INT) AS text_len
+        |FROM transcript""".stripMargin),
+    "pit_partition_pruned" -> pitLatestTurnOracle,
+    "saved_dataset_roundtrip" -> pitLatestTurnOracle,
+    "export_roundtrip" -> withTables(
+      "SELECT conv_id, score, ts, created_ts, event_id FROM conv_quality"),
+    "feature_logging" -> withTables(
+      """SELECT conv_id, score, ts, created_ts,
+        |  TIMESTAMP '2026-02-01 00:00:00' AS "__log_timestamp",
+        |  'req-42' AS "__log_request_id"
+        |FROM (
+        |  SELECT conv_id, score, ts, created_ts,
+        |    row_number() OVER (PARTITION BY conv_id
+        |                       ORDER BY ts DESC, created_ts DESC, event_id DESC) AS rn
+        |  FROM conv_quality
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-20 00:00:00') WHERE rn = 1""".stripMargin),
+    "foreach_sink" -> withTables(
+      "SELECT conv_id, event_id, score FROM conv_quality"),
     "union_entity_discovery" -> withTables(
       """SELECT DISTINCT conv_id FROM (
         |  SELECT conv_id FROM transcript UNION ALL SELECT conv_id FROM conv_quality)""".stripMargin)

@@ -174,12 +174,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash signature per document: bit k of the signature is the
-    * sign of Σ_tokens (±1 by bit k of xxhash64(token)). Output (id, simhash).
+    * sign of Σ_tokens (±1 by bit k of tokenHash(token)). Output (id, simhash).
+    * `tokenHash` defaults to xxhash64 (fastest); pass an md5-derived hash
+    * for engine-portable signatures (the oracle-checked driver query does).
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
     val tok = df.select(col(idCol),
       explode(split(col(textCol), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", tokenHash(col("t")))
     val bitSums: Seq[Column] = (0 until 64).map { k =>
       sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"b$k")
     }
@@ -267,9 +270,10 @@ object Dedup {
     * `bit_count(a XOR b)`. Recall is exact for any maxHamming < 64.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    val sig = simHash(df, idCol, textCol)
+    val sig = simHash(df, idCol, textCol, tokenHash)
     val chunks = maxHamming + 1
     val bounds = (0 to chunks).map(i => i * 64 / chunks)
     val chunkStructs = (0 until chunks).map { c =>
