@@ -64,7 +64,8 @@ object Backfill {
       checkpointDir: String,
       job: DataFrame => DataFrame,
       lookbackPartitions: Int = 0,
-      maxPartitions: Int = Int.MaxValue
+      maxPartitions: Int = Int.MaxValue,
+      sourceSnapshot: Option[String] = None
   ): Seq[PartitionResult] = {
     Files.createDirectories(Paths.get(checkpointDir))
     val partitions = source
@@ -96,7 +97,8 @@ object Backfill {
       val inputRows = inObs.get("in_rows").asInstanceOf[Long]
       val dur = System.currentTimeMillis() - t0
       val lineage = slice.inputFiles.toSeq.sorted
-      writeManifest(checkpointDir, p, inputRows, outputRows, lineage, t0, dur)
+      writeManifest(checkpointDir, p, inputRows, outputRows, lineage, t0, dur,
+        sourceSnapshot)
       PartitionResult(p, "complete", inputRows, outputRows, dur)
     }.toSeq
   }
@@ -129,13 +131,20 @@ object Backfill {
 
   private def writeManifest(
       dir: String, partition: String, inputRows: Long, outputRows: Long,
-      inputFiles: Seq[String], startedAtMs: Long, durationMs: Long): Unit = {
+      inputFiles: Seq[String], startedAtMs: Long, durationMs: Long,
+      sourceSnapshot: Option[String]): Unit = {
     val rps = if (durationMs > 0) inputRows * 1000.0 / durationMs else 0.0
     val files = inputFiles.map(f => "\"" + f.replace("\"", "\\\"") + "\"").mkString("[", ", ", "]")
+    // Iceberg source: the snapshot id the whole backfill run is pinned to
+    // (reference analog: materialization_intervals records time ranges,
+    // feature_view.py:482-490 — a snapshot id is the stronger lineage fact)
+    val snapshotLine = sourceSnapshot
+      .map(s => s"""  "source_snapshot": "${s.replace("\"", "\\\"")}",\n""")
+      .getOrElse("")
     val json =
       s"""{
          |  "partition": "$partition",
-         |  "status": "complete",
+         |$snapshotLine  "status": "complete",
          |  "input_rows": $inputRows,
          |  "output_rows": $outputRows,
          |  "input_files": $files,

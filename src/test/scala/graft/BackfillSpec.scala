@@ -69,6 +69,24 @@ class BackfillSpec extends SparkTestBase {
     assert(json.contains(".parquet"))
   }
 
+  test("manifest pins the source snapshot id when one is supplied") {
+    val src = spark.read.option("basePath", s"$tmp/src").parquet(s"$tmp/src")
+    val ckpt = s"$tmp/ckpt_snap"
+    Backfill.run(spark, src, "ds", s"$tmp/out_snap", ckpt,
+      identity, maxPartitions = 1, sourceSnapshot = Some("8772871634897"))
+    val parts = Backfill.completedPartitions(ckpt)
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, s"${parts.head}.json")))
+    assert(json.contains("\"source_snapshot\": \"8772871634897\""), json)
+    assert(json.contains("\"status\": \"complete\""), "snapshot line must not break the manifest")
+  }
+
+  test("iceberg runtime is absent in this sandbox and the seam reports it") {
+    assert(!graft.sources.IcebergSource.available(spark),
+      "sandbox has no iceberg-spark-runtime; if this starts passing, wire the native scan")
+    assert(graft.sources.IcebergSource.currentSnapshotId(spark, "cat.db.tbl").isEmpty)
+  }
+
   test("torn manifest is not treated as complete") {
     val ckpt = s"$tmp/ckpt3"
     Files.createDirectories(java.nio.file.Paths.get(ckpt))
