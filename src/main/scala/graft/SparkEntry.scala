@@ -530,6 +530,16 @@ object SparkEntry {
       Profile.topN(s.read.parquet(s"$dir/events.parquet"), "event_type", 3)),
     "stats_distinct" -> ((s, dir) =>
       Profile.distinctCount(s.read.parquet(s"$dir/events.parquet"), "event_type")),
+    // Freshness row for the monitoring `_freshness` table (S11).
+    "stats_freshness" -> ((s, dir) =>
+      Profile.freshness(s.read.parquet(s"$dir/events.parquet"), "ts")),
+    // Scalar int8-style quantization of the embedding corpus: per-dim
+    // affine codes from a one-pass broadcast codebook, exploded to scalar
+    // rows for the harness (floor-based arithmetic — engine-portable).
+    "embed_quantize" -> ((s, dir) =>
+      sim.Quantize.quantize(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))),
     // SavedDataset validation profile (saved_dataset.py:259): profile the
     // even-doc_id half as the reference, validate the full table against it
     // at 5% relative tolerance. Exact mode for oracle comparability.
@@ -1327,6 +1337,18 @@ object SparkEntry {
     "stats_distinct" -> withTables(
       """SELECT count(DISTINCT event_type) AS n_distinct,
         |  count(event_type) AS n_nonnull FROM events""".stripMargin),
+    "stats_freshness" -> withTables(
+      "SELECT max(ts) AS max_event_ts, count(*) AS row_count FROM events"),
+    "embed_quantize" -> withTables(
+      """, e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+        |      FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)),
+        |cb AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1)
+        |SELECT x.vec_id, CAST(x.dim AS INT) AS dim,
+        |  CAST(CASE WHEN cb.mx = cb.mn THEN 0
+        |       ELSE least(greatest(floor((x.x - cb.mn) / (cb.mx - cb.mn) * 255.0 + 0.5), 0), 255)
+        |       END AS INT) AS code
+        |FROM x JOIN cb USING (dim)""".stripMargin),
     "multiview_key_join" -> withTables(
       """SELECT e.conv_id, t.n_turns AS turns__n_turns,
         |  q.max_score AS quality__max_score

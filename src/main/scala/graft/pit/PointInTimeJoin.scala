@@ -152,9 +152,17 @@ object PointInTimeJoin {
   ): DataFrame = {
     val keys = view.joinKeys
     val feats = view.resolvedFeatures
-    val (src, probe) = prepare(entityDf, view, entityTsCol, precomputedBounds)
+    val (src0, probe) = prepare(entityDf, view, entityTsCol, precomputedBounds)
     val minTs = lit("1900-01-01 00:00:00").cast("timestamp")
     val createdFilter = filterByCreatedTs && view.createdTsCol.nonEmpty
+    // created-filter mode hides rows with NULL created_ts (SQL semantics of
+    // the reference's `created <= entity_ts` join predicate, spark.py:1799;
+    // dask's NaT compare masks them too, dask.py:1203-1226) — without this,
+    // greatest() below would skip the null and leave the row visible,
+    // diverging from the join path (PropertySpec pins the equivalence)
+    val src =
+      if (createdFilter) src0.filter(col(view.createdTsCol.get).isNotNull)
+      else src0
 
     val etsType = probe.schema(entityTsCol).dataType
     val ordNames = view.createdTsCol.map(_ => "__ord_created").toSeq ++

@@ -61,4 +61,11 @@ object Profile {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(column).asc)
       .limit(n)
+
+  /** Table freshness for the monitoring sink (the `_freshness` table of
+    * Sinks.ensureMonitoringTables; reference monitoring DDL spark.py:
+    * 671-744): newest event timestamp + row count in one agg pass.
+    */
+  def freshness(df: DataFrame, tsCol: String): DataFrame =
+    df.agg(max(col(tsCol)).as("max_event_ts"), count(lit(1)).as("row_count"))
 }

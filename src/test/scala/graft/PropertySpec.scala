@@ -70,6 +70,26 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: merge and join physical paths agree byte-for-byte") {
+    samples(tableGen, 8, 0xFACADEL).foreach { case (recs, ents, ttl) =>
+      val indexed = recs.zipWithIndex.map { case (r, i) => r.copy(tiebreak = i.toLong) }
+      val src = indexed
+        .map(r => (r.key, r.ts, r.created.orNull, r.tiebreak, r.value))
+        .toDF("k", "ts", "created_ts", "tb", "v")
+      val entityDf = ents.zipWithIndex
+        .map { case ((k, off), i) => (k, new Timestamp(base + off * 1000), i) }
+        .toDF("k", "event_ts", "row_i")
+      val view = FeatureView("v", src, Seq("k"), "ts", Some("created_ts"), ttl,
+        features = Seq("v"), tieBreakCols = Seq("tb"))
+      for (cf <- Seq(false, true)) {
+        val m = PointInTimeJoin.enrichMerge(entityDf, view, filterByCreatedTs = cf)
+        val j = PointInTimeJoin.enrichJoin(entityDf, view, filterByCreatedTs = cf)
+        assert(m.except(j).isEmpty && j.except(m).isEmpty,
+          s"physical paths diverge at ttl=$ttl createdFilter=$cf")
+      }
+    }
+  }
+
   private val eventsGen: Gen[List[(String, Long, Long)]] =
     Gen.listOfN(60, for {
       k <- Gen.oneOf("a", "b")
