@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.graftvec.DotProduct
+
+/** Native Catalyst vector expressions with whole-stage codegen.
+  *
+  * The engine's vector math was originally `aggregate`/`zip_with`
+  * higher-order functions — pure Catalyst, but HOFs evaluate *interpreted*
+  * (a lambda call per element, boxed accumulator) and sit outside
+  * whole-stage codegen. On the hot paths that evaluate millions of dot
+  * products (brute-force ranking, O(n²) dedup verification, IVF
+  * assignment) that interpreter overhead dominates. [[DotProduct]]
+  * compiles to a primitive `double` loop inside the generated code —
+  * identical left-to-right summation order to the HOF fold, so results are
+  * digit-for-digit the same (oracle hashes unchanged).
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ over `array<double>` columns, codegen'd. Null array → null;
+    * null *elements* contribute 0 (embedding columns have none); summation
+    * is left-to-right — the cross-engine-reproducible order.
+    */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** ‖a‖₂ via dot(a, a), codegen'd. */
+  def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+}

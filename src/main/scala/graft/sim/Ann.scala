@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Σ aᵢ·bᵢ as a sequential left fold (deterministic order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ — a codegen'd native expression (graft.functions.DotProduct)
+    * with the same deterministic left-to-right summation as the former
+    * `aggregate`/`zip_with` fold (results digit-for-digit identical; HOFs
+    * evaluate interpreted, which dominated the million-dot hot paths).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = graft.functions.VectorFunctions.norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -125,35 +127,49 @@ object Ann {
   private[sim] def trainCentroids(
       corpus: DataFrame, // (c_id, c_vec) — c_vec array<double>
       nlist: Int,
-      lloydIters: Int
+      lloydIters: Int,
+      trainSampleRows: Long = 65536L
   ): Seq[Seq[Double]] = {
     def normalize(v: Seq[Double]): Seq[Double] = {
       val nm = math.sqrt(v.map(x => x * x).sum)
       if (nm == 0) v else v.map(_ / nm)
     }
-    var centroids: Seq[Seq[Double]] = corpus
-      .groupBy(pmod(xxhash64(col("c_id").cast("string")), lit(nlist)).as("__b"))
-      .agg(min_by(col("c_vec"), col("c_id")).as("c_vec"))
-      .orderBy(col("__b"))
-      .select(col("c_vec")).collect()
-      .map(r => normalize(r.getSeq[Double](0))).toSeq
-    for (_ <- 1 to lloydIters) {
-      val assigned = assignCells(corpus, "c_id", "c_vec", centroids, "__cl")
-      val sums = assigned
-        .select(col("__cl"), posexplode(col("c_vec")).as(Seq("__d", "__x")))
-        .groupBy(col("__cl"), col("__d"))
-        .agg(sum(col("__x")).as("__s"))
-        .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { c =>
-        byCluster.get(c) match {
-          case Some(rows) =>
-            normalize(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-          case None => centroids(c) // empty cluster keeps its centroid
+    // The quantizer trains on a bounded deterministic hash-sample of the
+    // corpus (the FAISS shape — ~256 vectors per cell suffice): Lloyd
+    // rounds must not scan a 100 TB corpus per iteration, and the sample is
+    // small enough to persist for the duration of training, so iterations
+    // read memory rather than re-reading the source.
+    val n = corpus.count()
+    val every = math.max(1L, n / math.max(trainSampleRows, 1L))
+    val sample = (if (every > 1)
+      corpus.filter(
+        pmod(xxhash64(col("c_id").cast("string"), lit(7919L)), lit(every)) === 0)
+    else corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[Seq[Double]] = sample
+        .groupBy(pmod(xxhash64(col("c_id").cast("string")), lit(nlist)).as("__b"))
+        .agg(min_by(col("c_vec"), col("c_id")).as("c_vec"))
+        .orderBy(col("__b"))
+        .select(col("c_vec")).collect()
+        .map(r => normalize(r.getSeq[Double](0))).toSeq
+      for (_ <- 1 to lloydIters) {
+        val assigned = assignCells(sample, "c_id", "c_vec", centroids, "__cl")
+        val sums = assigned
+          .select(col("__cl"), posexplode(col("c_vec")).as(Seq("__d", "__x")))
+          .groupBy(col("__cl"), col("__d"))
+          .agg(sum(col("__x")).as("__s"))
+          .collect()
+        val byCluster = sums.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { c =>
+          byCluster.get(c) match {
+            case Some(rows) =>
+              normalize(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+            case None => centroids(c) // empty cluster keeps its centroid
+          }
         }
       }
-    }
-    centroids
+      centroids
+    } finally { sample.unpersist(blocking = false); () }
   }
 
   /** Centroids as a broadcast DataFrame (__cidx, __cvec). The literal-array

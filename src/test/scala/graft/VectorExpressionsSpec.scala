@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** The codegen'd DotProduct must be value-identical to the interpreted
+  * higher-order-function fold it replaced (same left-to-right order), and
+  * must stay inside whole-stage codegen.
+  */
+class VectorExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("digit-for-digit equal to the HOF fold on random vectors") {
+    val rnd = new scala.util.Random(99L)
+    val rows = (0 until 500).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian()))
+    }.toDF("id", "a", "b")
+    val out = rows.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    // bitwise equality — summation order is identical, not merely close
+    assert(out.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("null array yields null; empty arrays yield 0") {
+    val df = Seq(
+      (1L, Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]),
+      (2L, Some(Seq.empty[Double]), Some(Seq.empty[Double]))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(0.0))
+  }
+
+  test("stays inside whole-stage codegen") {
+    // spark.range keeps the projection a real plan (a literal local table
+    // would constant-fold into a LocalTableScan with no codegen stage)
+    val df = spark.range(4).select(
+      VectorFunctions.dot(
+        array(col("id").cast("double"), lit(2.0)),
+        array(lit(3.0), lit(4.0))).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage; the
+    // projection carrying graft_dot must be starred (no fallback)
+    assert(plan.linesIterator.exists(l => l.contains("graft_dot") && l.trim.startsWith("*(")),
+      plan)
+    assert(df.orderBy("d").head().getDouble(0) == 8.0) // id=0: 0*3 + 2*4
+  }
+}
