@@ -193,7 +193,7 @@ object Bench {
     // even if still below 0.8 — a 2-core session is minutes, and unbounded
     // floor-hunting must not blow the round's bench budget
     val deadline = System.currentTimeMillis() +
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "18").toLong * 60000L
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "25").toLong * 60000L
     while (round < order.length &&
       (round < 4 ||
         ((sinceImprovement < 2 ||

@@ -32,11 +32,17 @@ object Decontaminate {
       broadcastBench: Boolean = true
   ): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
-    // distinct shingles of the whole benchmark corpus (doc identity dropped)
-    val benchSh0 = Dedup.shingles(bench, idCol, textCol, n).select(col("shingle")).distinct()
+    // Shingles join by 8-byte xxhash64, not by the raw n-gram string: a
+    // 13-gram is ~80 bytes, so hashing shrinks the broadcast set and the
+    // train-side join keys ~10×. A hash collision can only ADD a spurious
+    // overlap (false-positive contamination) with probability ~|bench|·
+    // |train-shingles|/2^64 — negligible, and it errs toward dropping.
+    val benchSh0 = Dedup.shingles(bench, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("__sh")).distinct()
     val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
     Dedup.shingles(train, idCol, textCol, n) // distinct per (id, shingle)
-      .join(benchSh, Seq("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+      .join(benchSh, Seq("__sh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
