@@ -3,7 +3,10 @@ package graft.engine
 import graft.FeatureView
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Materialization's core query: pull the latest feature row per entity key
   * within a time slice (reference: spark.py:98-166 `pull_latest_from_table_
@@ -27,5 +30,53 @@ object Materialize {
       .agg(max_by(struct(payloadCols.distinct.map(col): _*), struct(ordCols: _*)).as("__best"))
       .select(view.joinKeys.map(col) ++
         payloadCols.distinct.map(c => col("__best." + c).as(c)): _*)
+  }
+
+  // --- incremental materialization (reference materialize_incremental:
+  // feature_store.py:2546 picks start = the view's most_recent_end_time,
+  // feature_view.py:795-804; intervals recorded by apply_materialization,
+  // feature_view.py:482-490). Interval bookkeeping is a per-view jsonl
+  // ledger next to the backfill manifests. -------------------------------
+
+  private def ledgerPath(dir: String, viewName: String) =
+    Paths.get(dir, s"$viewName.intervals.jsonl")
+
+  /** Most recent materialized end time of `viewName`, if any. */
+  def mostRecentEnd(intervalDir: String, viewName: String): Option[Timestamp] = {
+    val p = ledgerPath(intervalDir, viewName)
+    if (!Files.exists(p)) None
+    else {
+      val ends = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .flatMap("\"end\": \"([^\"]+)\"".r.findFirstMatchIn(_))
+        .map(m => Timestamp.valueOf(m.group(1)))
+      ends.sorted(Ordering.by((t: Timestamp) => t.getTime)).lastOption
+    }
+  }
+
+  /** Record a completed (start, end] interval (atomic append). */
+  def recordInterval(intervalDir: String, viewName: String,
+                     start: Timestamp, end: Timestamp): Unit = {
+    Files.createDirectories(Paths.get(intervalDir))
+    val line = s"""{"view": "$viewName", "start": "$start", "end": "$end"}\n"""
+    Files.write(ledgerPath(intervalDir, viewName),
+      line.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Incremental pull-latest: start where the ledger left off (or
+    * `defaultStart` on the first run), end at `asOf`; returns the slice's
+    * latest-per-key frame and the interval it covers. Call
+    * [[recordInterval]] AFTER the write succeeds — the ledger must only
+    * advance past durable data (same crash contract as Backfill's
+    * manifests).
+    */
+  def incremental(
+      view: FeatureView,
+      asOf: Timestamp,
+      intervalDir: String,
+      defaultStart: Timestamp = Timestamp.valueOf("1970-01-01 00:00:00")
+  ): (DataFrame, (Timestamp, Timestamp)) = {
+    val start = mostRecentEnd(intervalDir, view.name).getOrElse(defaultStart)
+    (latestPerKey(view, start, asOf), (start, asOf))
   }
 }

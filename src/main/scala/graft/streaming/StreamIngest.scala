@@ -110,6 +110,23 @@ object StreamIngest {
       .withColumn("win_start", col("window.start"))
       .drop("window")
 
+  /** Streaming-native duplicate drop: state-bounded dedup on `keys` where
+    * the state for a key is retained only within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming dual of the exact
+    * batch dedup, and the piece the reference's processing-time-only
+    * processor cannot express (its only dedup is per-micro-batch). State
+    * size is O(keys within the watermark), not O(all keys ever seen).
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      watermarkSec: Long
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, s"$watermarkSec seconds")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming sessionization: `session_window` by inactivity gap — the
     * streaming dual of TranscriptFeatures.sessionize (north rule).
     */

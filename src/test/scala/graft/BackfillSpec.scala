@@ -81,6 +81,30 @@ class BackfillSpec extends SparkTestBase {
     assert(json.contains("\"status\": \"complete\""), "snapshot line must not break the manifest")
   }
 
+  test("incremental materialization resumes from the interval ledger") {
+    import java.sql.Timestamp
+    import graft.engine.Materialize
+    val dir = s"$tmp/intervals"
+    val src = Transcripts.synthetic(spark, nConvs = 8, turnsPerConv = 10, seed = 3L)
+    val view = FeatureView("mview", src, Seq("conv_id"), "ts", None, 0L,
+      features = Seq("turn_idx"), tieBreakCols = Seq("turn_idx"))
+    val t1 = Timestamp.valueOf("2026-01-03 00:00:00")
+    val t2 = Timestamp.valueOf("2026-01-09 00:00:00")
+
+    val (df1, (s1, e1)) = Materialize.incremental(view, t1, dir)
+    assert(s1 == Timestamp.valueOf("1970-01-01 00:00:00") && e1 == t1)
+    assert(df1.count() > 0)
+    Materialize.recordInterval(dir, view.name, s1, e1)
+
+    // second run starts exactly where the ledger ends
+    val (df2, (s2, e2)) = Materialize.incremental(view, t2, dir)
+    assert(s2 == t1 && e2 == t2)
+    val tsVals = df2.select(col("ts")).collect().map(_.getTimestamp(0))
+    assert(tsVals.forall(t => !t.before(t1)), "delta slice must not re-read old data")
+    Materialize.recordInterval(dir, view.name, s2, e2)
+    assert(Materialize.mostRecentEnd(dir, view.name).contains(t2))
+  }
+
   test("iceberg runtime is absent in this sandbox and the seam reports it") {
     assert(!graft.sources.IcebergSource.available(spark),
       "sandbox has no iceberg-spark-runtime; if this starts passing, wire the native scan")

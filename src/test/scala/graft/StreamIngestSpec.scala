@@ -74,6 +74,24 @@ class StreamIngestSpec extends SparkTestBase {
       "streamed windows must equal batch tumbling agg")
   }
 
+  test("dedup-within-watermark emits each key once inside the horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val deduped = StreamIngest.dedupWithinWatermark(
+      mem.toDF().toDF("k", "ts"), Seq("k"), "ts", watermarkSec = 3600)
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    mem.addData(("a", ts("2026-02-01 00:00:00")), ("a", ts("2026-02-01 00:00:10")),
+      ("b", ts("2026-02-01 00:00:05")))
+    q.processAllAvailable()
+    // a second batch re-sends "a" within the watermark horizon — still dropped
+    mem.addData(("a", ts("2026-02-01 00:00:20")), ("c", ts("2026-02-01 00:00:21")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_wm").select("k").as[String].collect().toSeq.sorted
+    assert(out == Seq("a", "b", "c"), s"got $out")
+  }
+
   test("streaming session_window splits on the inactivity gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Turn]
