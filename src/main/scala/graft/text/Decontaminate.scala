@@ -40,9 +40,13 @@ object Decontaminate {
     val benchSh0 = Dedup.shingles(bench, idCol, textCol, n)
       .select(xxhash64(col("shingle")).as("__sh")).distinct()
     val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
-    Dedup.shingles(train, idCol, textCol, n) // distinct per (id, shingle)
+    // join BEFORE dedup: the broadcast semi-join filters the raw shingle
+    // stream map-side, so the train corpus's shingles never shuffle — only
+    // the (tiny) matched set is deduped for the per-doc distinct count
+    Dedup.shingles(train, idCol, textCol, n, distinct = false)
       .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
       .join(benchSh, Seq("__sh"))
+      .distinct()
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

@@ -21,16 +21,20 @@ object Dedup {
     * Word-level (not char-level) keeps the inverted index selective —
     * char-3-grams of natural text collide on nearly every pair.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+               distinct: Boolean = true): DataFrame = {
     val toks = split(col(textCol), " ")
-    df.select(
+    val sh = df.select(
       col(idCol),
       explode(
         when(size(toks) >= n,
           transform(sequence(lit(0), size(toks) - n),
             i => array_join(slice(toks, i + 1, lit(n)), " ")))
           .otherwise(array(array_join(toks, " ")))).as("shingle"))
-      .distinct()
+    // distinct = a full shuffle of every shingle; callers that filter the
+    // stream first (e.g. Decontaminate's broadcast semi-join) dedup later,
+    // on the much smaller surviving set
+    if (distinct) sh.distinct() else sh
   }
 
   /** Exact duplicates via content hash: (doc_id, canonical_id, content_hash)
