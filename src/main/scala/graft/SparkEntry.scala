@@ -1149,10 +1149,8 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
         |    md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
         |b AS (SELECT doc_id, n_tokens, key,
-        |    CAST(((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 4096
-        |        + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1) * 256
-        |        + (strpos('0123456789abcdef', substr(key, 3, 1)) - 1) * 16
-        |        + (strpos('0123456789abcdef', substr(key, 4, 1)) - 1)) % 16 AS INT) AS bucket
+        |    -- value-of-first-8-hex-digits mod 16 == the 8th digit's value
+        |    CAST(strpos('0123456789abcdef', substr(key, 8, 1)) - 1 AS INT) AS bucket
         |  FROM tc),
         |c AS (SELECT doc_id, n_tokens, bucket,
         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY key, doc_id

@@ -98,8 +98,12 @@ object Historical {
         if (keyCols.contains(c)) acc else acc.withColumnRenamed(c, s"${name}__$c")
       }
     }
-    val joined = prefixed.reduce(_.join(_, keyCols, "left"))
-    entityDf.join(joined, keyCols, "left")
+    // each view left-joins the ENTITY side independently — chaining the
+    // view frames into each other (reference nodes.py:421 does
+    // joined.join(next, how="left")) silently nulls a later view's
+    // features for keys the first view lacks; the entity universe is the
+    // only correct preserved side
+    prefixed.foldLeft(entityDf)(_.join(_, keyCols, "left"))
   }
 
   /** Typed entry point over the engine's core row types

@@ -76,7 +76,16 @@ object Materialize {
       intervalDir: String,
       defaultStart: Timestamp = Timestamp.valueOf("1970-01-01 00:00:00")
   ): (DataFrame, (Timestamp, Timestamp)) = {
-    val start = mostRecentEnd(intervalDir, view.name).getOrElse(defaultStart)
-    (latestPerKey(view, start, asOf), (start, asOf))
+    val resumed = mostRecentEnd(intervalDir, view.name)
+    val start = resumed.getOrElse(defaultStart)
+    // (start, end]: a resumed run must not re-emit rows at exactly the
+    // previous asOf boundary (latestPerKey's slice is inclusive on both
+    // ends) — append-style consumers would see boundary events twice
+    val src = resumed match {
+      case Some(prevEnd) => view.copy(source =
+        view.source.filter(col(view.tsCol) > lit(prevEnd)))
+      case None => view
+    }
+    (latestPerKey(src, start, asOf), (start, asOf))
   }
 }

@@ -17,9 +17,10 @@ import org.apache.spark.sql.graftvec.DotProduct
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ over `array<double>` columns, codegen'd. Null array → null;
-    * null *elements* contribute 0 (embedding columns have none); summation
-    * is left-to-right — the cross-engine-reproducible order.
+  /** Σ aᵢ·bᵢ over `array<double>` columns, codegen'd. Null array, length
+    * mismatch, or any null element → null (exactly the HOF fold's edge
+    * semantics — malformed vectors keep failing threshold filters);
+    * summation is left-to-right — the cross-engine-reproducible order.
     */
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(

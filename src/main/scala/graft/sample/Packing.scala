@@ -38,9 +38,12 @@ object Packing {
       numBuckets: Int = 256
   ): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    require(numBuckets > 0, "numBuckets must be positive")
+    // 8 md5 hex digits = 2^32 distinct bucket seeds; a shorter prefix
+    // silently caps effective parallelism (4 digits = 65536 buckets max)
+    require(numBuckets > 0 && numBuckets <= (1 << 30),
+      "numBuckets must be in [1, 2^30]")
     val key = md5(col(idCol).cast("string"))
-    val bucket = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(numBuckets))
+    val bucket = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"), lit(numBuckets))
       .cast("int")
     val w = Window.partitionBy(col("bucket")).orderBy(col("__key"), col(idCol))
     df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),

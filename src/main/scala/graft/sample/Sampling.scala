@@ -88,15 +88,24 @@ object Sampling {
     val saltW = Window.partitionBy(strata: _*).orderBy(col("__salt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val totW = Window.partitionBy(strata: _*)
+    // renamed join keys + null-safe equality: a NULL stratum (e.g.
+    // unidentified language) is a legitimate stratum and must sample like
+    // any other — a plain equi-join would silently drop those rows. No
+    // broadcast hint: offsets is |strata|·16^saltDigits rows, tiny for
+    // normal strata but unbounded for high-cardinality keys; AQE broadcasts
+    // it at runtime when it is actually small.
     val offsets = keyed.groupBy(strata :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset", coalesce(sum(col("__cnt")).over(saltW), lit(0L)))
       .withColumn("__n", sum(col("__cnt")).over(totW))
-      .drop("__cnt")
+      .select(strataCols.map(c => col(c).as(s"__o_$c")) ++
+        Seq(col("__salt").as("__o_salt"), col("__offset"), col("__n")): _*)
+    val joinCond = strataCols.map(c => col(c) <=> col(s"__o_$c"))
+      .reduce(_ && _) && (col("__salt") === col("__o_salt"))
     val localW = Window.partitionBy(strata :+ col("__salt"): _*)
       .orderBy(col("__key"), col(idCol))
     keyed
-      .join(broadcast(offsets), strataCols :+ "__salt")
+      .join(offsets, joinCond)
       .withColumn("__rn", col("__offset") + row_number().over(localW))
       .filter(col("__rn") <= ceil(col("__n") * fraction))
       .select(df.columns.map(col): _*)

@@ -128,7 +128,8 @@ object Ann {
       corpus: DataFrame, // (c_id, c_vec) — c_vec array<double>
       nlist: Int,
       lloydIters: Int,
-      trainSampleRows: Long = 65536L
+      trainSampleRows: Long = 65536L,
+      corpusRowsHint: Option[Long] = None
   ): Seq[Seq[Double]] = {
     def normalize(v: Seq[Double]): Seq[Double] = {
       val nm = math.sqrt(v.map(x => x * x).sum)
@@ -138,8 +139,11 @@ object Ann {
     // corpus (the FAISS shape — ~256 vectors per cell suffice): Lloyd
     // rounds must not scan a 100 TB corpus per iteration, and the sample is
     // small enough to persist for the duration of training, so iterations
-    // read memory rather than re-reading the source.
-    val n = corpus.count()
+    // read memory rather than re-reading the source. Sizing the sample rate
+    // needs the corpus row count — pass `corpusRowsHint` when known (e.g.
+    // from table stats) to skip even the count job (on a plain scan the
+    // count is metadata-only anyway).
+    val n = corpusRowsHint.getOrElse(corpus.count())
     val every = math.max(1L, n / math.max(trainSampleRows, 1L))
     val sample = (if (every > 1)
       corpus.filter(
@@ -245,11 +249,13 @@ object Ann {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      lloydIters: Int = 2
+      lloydIters: Int = 2,
+      corpusRowsHint: Option[Long] = None
   ): DataFrame = {
     val c = corpus.select(col("c_id"), col("c_vec").cast("array<double>").as("c_vec"))
     val q = queries.select(col("q_id"), col("q_vec").cast("array<double>").as("q_vec"))
-    val centroids = trainCentroids(c, nlist, lloydIters)
+    val centroids = trainCentroids(c, nlist, lloydIters,
+      corpusRowsHint = corpusRowsHint)
     val cAssigned = assignCells(c, "c_id", "c_vec", centroids, "__cell")
       .withColumn("__cn", norm(col("c_vec")))
     val qProbes = probeCells(

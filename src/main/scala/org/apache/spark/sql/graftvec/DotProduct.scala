@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `org.apache.spark.sql` subpackage because the expression type surface
   * (AbstractDataType) is `private[sql]`.
   *
-  * Semantics: null array → null; null elements contribute 0; length
-  * mismatch truncates to the shorter array; summation is left-to-right
-  * (digit-for-digit equal to the aggregate/zip_with fold it replaced).
+  * Semantics are exactly those of the `aggregate(zip_with(a, b, _*_),
+  * 0.0, _+_)` fold this replaces — including the edges: null array,
+  * length mismatch (zip_with pads with null), or any null element → null
+  * result, so malformed vectors keep failing threshold filters instead
+  * of scoring as finite; summation is left-to-right.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -20,16 +22,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     s
@@ -41,15 +46,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = $a.numElements() < $b.numElements()
-         |  ? $a.numElements() : $b.numElements();
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -100,7 +100,8 @@ class BackfillSpec extends SparkTestBase {
     val (df2, (s2, e2)) = Materialize.incremental(view, t2, dir)
     assert(s2 == t1 && e2 == t2)
     val tsVals = df2.select(col("ts")).collect().map(_.getTimestamp(0))
-    assert(tsVals.forall(t => !t.before(t1)), "delta slice must not re-read old data")
+    assert(tsVals.forall(_.after(t1)),
+      "delta slice is (t1, t2] — boundary rows at exactly t1 belong to run 1")
     Materialize.recordInterval(dir, view.name, s2, e2)
     assert(Materialize.mostRecentEnd(dir, view.name).contains(t2))
   }

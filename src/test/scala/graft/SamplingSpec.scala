@@ -71,6 +71,17 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("stratifiedSample: NULL stratum is a real stratum and samples like any other") {
+    val df = (0L until 400L)
+      .map(i => (i, if (i % 4 == 0) null else "en"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSample(df, "doc_id", Seq("lang"), 0.5)
+    val per = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(per(None) == 50L, s"NULL stratum: ceil(0.5*100)=50, got $per")
+    assert(per(Some("en")) == 150L)
+  }
+
   test("packSequences: layout invariants and cross-check vs single-stream cumsum") {
     val docs = (0L until 400L).map(i => (i, 1L + i % 97)).toDF("doc_id", "n_tok")
     val packed = sample.Packing.packSequences(docs, "doc_id", "n_tok",
@@ -90,7 +101,7 @@ class SamplingSpec extends SparkTestBase {
     // equals a directly computed cumsum over the same (md5, id) order
     import org.apache.spark.sql.expressions.Window
     val key = md5(col("doc_id").cast("string"))
-    val bucket = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(8)).cast("int")
+    val bucket = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"), lit(8)).cast("int")
     val direct = docs.select(col("doc_id"), col("n_tok"), key.as("k"), bucket.as("b"))
       .withColumn("cum", sum(col("n_tok")).over(
         Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))))

@@ -43,4 +43,17 @@ class ServiceSpec extends SparkTestBase {
     val unknown = out.filter(col("conv_id") === "conv_unknown").head()
     assert(unknown.isNullAt(1) && unknown.isNullAt(2), "unmatched keys keep nulls")
   }
+
+  test("joinViewsOnKeys: a key missing from the FIRST view still gets later views' features") {
+    import spark.implicits._
+    val vA = Seq(("k1", 10L)).toDF("conv_id", "a_val")
+    val vB = Seq(("k1", 1L), ("k2", 2L)).toDF("conv_id", "b_val")
+    val entity = Seq("k1", "k2").toDF("conv_id")
+    val out = Historical.joinViewsOnKeys(entity, Seq("conv_id"),
+      Seq("a" -> vA, "b" -> vB))
+    val k2 = out.filter(col("conv_id") === "k2").head()
+    assert(k2.isNullAt(1), "view a has no k2")
+    assert(k2.getLong(2) == 2L,
+      "view b's k2 feature must survive even though view a lacks the key")
+  }
 }

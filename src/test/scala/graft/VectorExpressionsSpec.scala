@@ -25,15 +25,21 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(out.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
-  test("null array yields null; empty arrays yield 0") {
+  test("edge semantics match the HOF fold: null array/mismatch/null element -> null") {
     val df = Seq(
-      (1L, Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]),
-      (2L, Some(Seq.empty[Double]), Some(Seq.empty[Double]))
+      (1L, Some(Seq(Option(1.0), Option(2.0))), None: Option[Seq[Option[Double]]]),
+      (2L, Some(Seq.empty[Option[Double]]), Some(Seq.empty[Option[Double]])),
+      (3L, Some(Seq(Option(1.0), Option(2.0))), Some(Seq(Option(3.0)))), // length mismatch
+      (4L, Some(Seq(Option(1.0), None)), Some(Seq(Option(3.0), Option(4.0)))) // null element
     ).toDF("id", "a", "b")
-    val out = df.select(col("id"), VectorFunctions.dot(col("a"), col("b")).as("d"))
-      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
-    assert(out(1L).isEmpty)
-    assert(out(2L).contains(0.0))
+    val out = df.select(col("id"),
+        VectorFunctions.dot(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L) == ((Some(0.0), Some(0.0))))
+    assert(out(3L) == ((None, None)), "zip_with pads with null -> null sum")
+    assert(out(4L) == ((None, None)), "null element poisons the sum")
   }
 
   test("stays inside whole-stage codegen") {
