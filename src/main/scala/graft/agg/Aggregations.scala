@@ -35,31 +35,40 @@ object Aggregations {
     f.as(spec.outputName)
   }
 
+  private def requireSpecs(specs: Seq[Aggregation]): Unit =
+    require(specs.nonEmpty, "at least one Aggregation spec required")
+
   /** Plain grouped aggregation over the entity keys (nodes.py:364-373). */
-  def grouped(df: DataFrame, keys: Seq[String], specs: Seq[Aggregation]): DataFrame =
+  def grouped(df: DataFrame, keys: Seq[String], specs: Seq[Aggregation]): DataFrame = {
+    requireSpecs(specs)
     df.groupBy(keys.map(col): _*).agg(aggColumn(specs.head), specs.tail.map(aggColumn): _*)
+  }
 
   /** Tumbling-window aggregation (nodes.py:375-392). Output carries
     * `win_start`/`win_end` instead of the opaque window struct so results
     * are plain-SQL comparable.
     */
   def tumbling(df: DataFrame, keys: Seq[String], tsCol: String,
-               windowSec: Long, specs: Seq[Aggregation]): DataFrame =
+               windowSec: Long, specs: Seq[Aggregation]): DataFrame = {
+    requireSpecs(specs)
     df.groupBy((keys.map(col) :+ window(col(tsCol), s"$windowSec seconds")): _*)
       .agg(aggColumn(specs.head), specs.tail.map(aggColumn): _*)
       .withColumn("win_start", col("window.start"))
       .withColumn("win_end", col("window.end"))
       .drop("window")
+  }
 
   /** Sliding-window aggregation — the reference declares `slide_interval`
     * (aggregation/__init__.py:44-47) but its Spark node ignores it; we
     * implement it natively with window(ts, win, slide).
     */
   def sliding(df: DataFrame, keys: Seq[String], tsCol: String,
-              windowSec: Long, slideSec: Long, specs: Seq[Aggregation]): DataFrame =
+              windowSec: Long, slideSec: Long, specs: Seq[Aggregation]): DataFrame = {
+    requireSpecs(specs)
     df.groupBy((keys.map(col) :+ window(col(tsCol), s"$windowSec seconds", s"$slideSec seconds")): _*)
       .agg(aggColumn(specs.head), specs.tail.map(aggColumn): _*)
       .withColumn("win_start", col("window.start"))
       .withColumn("win_end", col("window.end"))
       .drop("window")
+  }
 }

@@ -55,7 +55,9 @@ object Tiling {
       .agg(
         sum(col(valueCol)).as("__s"),
         count(col(valueCol)).as("__c"),
-        sum(col(valueCol) * col(valueCol)).as("__ss"),
+        // widen BEFORE squaring: int*int wraps negative at |v| > 46340
+        // (non-ANSI), silently corrupting var/std downstream
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long")).as("__ss"),
         max(col(valueCol)).as("__mx"))
 
     // 2.+3. sparse breakpoint stream instead of a dense grid join.
@@ -121,8 +123,11 @@ object Tiling {
     val sW = col("__sw")
     val cW = col("__cw")
     val ssW = col("__ssw")
+    // double-first multiply (same order as the oracle's CAST AS DOUBLE):
+    // long·long would overflow on large windowed sums
     val varW = when(cW > 1,
-      (ssW - sW * sW / cW) / (cW - 1)).otherwise(lit(null).cast("double"))
+      (ssW.cast("double") - sW.cast("double") * sW / cW) / (cW - 1))
+      .otherwise(lit(null).cast("double"))
     dense.select(
       (k :+ (col("__hop") * hopSec).as("hop_start")) ++ Seq(
         when(cW > 0, sW).otherwise(lit(null)).as("sum_w"),

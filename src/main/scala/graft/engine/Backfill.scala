@@ -117,13 +117,20 @@ object Backfill {
   def completedPartitions(checkpointDir: String): Seq[String] = {
     val d = Paths.get(checkpointDir)
     if (!Files.exists(d)) Nil
-    else
-      Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json"))
-        .filter(isComplete(checkpointDir, _))
-        .toSeq.sorted
+    else {
+      // Files.list holds an open directory handle until closed — a driver
+      // polling this in a loop would leak fds
+      val stream = Files.list(d)
+      try
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json"))
+          .toSeq
+          .filter(isComplete(checkpointDir, _))
+          .sorted
+      finally stream.close()
+    }
   }
 
   private def manifestPath(dir: String, partition: String): Path =

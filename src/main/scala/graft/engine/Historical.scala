@@ -51,10 +51,11 @@ object Historical {
     val bounded =
       if (startDate.isEmpty && endDate.isEmpty) views
       else views.map { v =>
-        var src = v.source
+        // tsCol names a post-fieldMapping column — filter the mapped frame
+        var src = v.mappedSource
         startDate.foreach(s => src = src.filter(col(v.tsCol) >= lit(s)))
         endDate.foreach(e => src = src.filter(col(v.tsCol) <= lit(e)))
-        v.copy(source = src)
+        v.copy(source = src, fieldMapping = Map.empty)
       }
     // A8: one entity-range (min, max) action shared by every view — an
     // N-view retrieval must not rescan the entity frame N times
@@ -148,7 +149,7 @@ object Historical {
   ): DataFrame = {
     val keyCols = views.head.joinKeys
     val universe = views
-      .map(v => v.source.select(v.joinKeys.map(k => col(k).cast("string")): _*)
+      .map(v => v.mappedSource.select(v.joinKeys.map(k => col(k).cast("string")): _*)
         .toDF(keyCols: _*))
       .reduce(_ unionByName _)
       .distinct()

@@ -23,7 +23,7 @@ object Materialize {
       (view.createdTsCol.map(c => coalesce(col(c), minTs)).toSeq ++
         view.tieBreakCols.map(col))
     val payloadCols = (feats :+ view.tsCol) ++ view.createdTsCol.toSeq
-    val sliced = view.source
+    val sliced = view.mappedSource
       .filter(col(view.tsCol) >= lit(start) && col(view.tsCol) <= lit(end))
     sliced
       .groupBy(view.joinKeys.map(col): _*)

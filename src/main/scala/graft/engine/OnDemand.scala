@@ -77,6 +77,13 @@ object OnDemand {
       s"ODFV ${v.name}: transform dropped columns ${dropped.mkString(", ")}; " +
         "ODFV transforms must only append")
     val appended = out.columns.toSeq.filterNot(iso.columns.contains)
+    // An appended column named like a HIDDEN (undeclared) column would
+    // collide on restore and poison every later reference with an
+    // ambiguous-column error — fail loudly at the source instead.
+    val shadowing = appended.filter(hidden.contains)
+    require(shadowing.isEmpty,
+      s"ODFV ${v.name}: transform appended column(s) ${shadowing.mkString(", ")} " +
+        "that shadow undeclared retrieval columns; declare them as inputs or rename the outputs")
     if (v.outputs.nonEmpty) {
       val missingOut = v.outputs.filterNot(appended.contains)
       require(missingOut.isEmpty,

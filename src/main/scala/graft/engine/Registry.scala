@@ -73,9 +73,16 @@ final class Registry {
   ): DataFrame = {
     require(features.nonEmpty, "at least one feature ref required")
     val parsed = features.map(parseRef)
+    // one DAG resolution per referenced view for the whole call —
+    // featureView() re-walks the derivation DAG each time, so the
+    // validation loop, sourceRef pull, and final projection must share
+    // resolved instances (plan sharing only holds within one resolution)
+    val viewCache = scala.collection.mutable.Map[String, graft.FeatureView]()
+    def cachedView(n: String): graft.FeatureView =
+      viewCache.getOrElseUpdate(n, featureView(n))
     val (odfvRefs, viewRefs) = parsed.partition { case (n, _) => odfvs.contains(n) }
     viewRefs.foreach { case (n, f) =>
-      val v = featureView(n) // throws UnknownFeatureRefException if absent
+      val v = cachedView(n) // throws UnknownFeatureRefException if absent
       require(v.resolvedFeatures.contains(f),
         s"view '$n' has no feature '$f' (has: ${v.resolvedFeatures.mkString(",")})")
     }
@@ -89,14 +96,14 @@ final class Registry {
     // Backing-view features the requested ODFVs need, resolved from their
     // declared sourceRefs.
     val sourceRefs = requestedOdfvs.flatMap(_.sourceRefs).map(parseRef)
-    sourceRefs.foreach { case (n, _) => featureView(n) }
+    sourceRefs.foreach { case (n, _) => cachedView(n) }
     val needed = (viewRefs ++ sourceRefs).distinct
     val viewOrder = needed.map(_._1).distinct
     val perView = needed.groupBy(_._1).map { case (n, refs) =>
       n -> refs.map(_._2).distinct
     }
     val resolvedViews = viewOrder.map(n =>
-      Projection(featureView(n), features = perView(n)).resolved)
+      Projection(cachedView(n), features = perView(n)).resolved)
     val retrieved = Historical.getHistoricalFeatures(
       entityDf, resolvedViews, entityTsCol, fullFeatureNames)
     val withOdfv = requestedOdfvs.foldLeft(retrieved)((acc, v) =>

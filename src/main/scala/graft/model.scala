@@ -73,6 +73,15 @@ case class FeatureView(
         .map(c => fieldMapping.getOrElse(c, c))
         .filterNot(excluded.contains)
     }
+
+  /** Source with `fieldMapping` applied — tsCol/joinKeys/features name
+    * columns of THIS frame. Every engine entry point that touches the
+    * source directly (Materialize, non-entity key discovery, date bounds)
+    * must read through it, not through the raw `source`; renaming a
+    * missing column is a no-op, so applying it twice is harmless.
+    */
+  def mappedSource: org.apache.spark.sql.DataFrame =
+    fieldMapping.foldLeft(source) { case (df, (src, dst)) => df.withColumnRenamed(src, dst) }
 }
 
 /** Per-use view projection (reference FeatureViewProjection,

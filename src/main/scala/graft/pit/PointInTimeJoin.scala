@@ -164,7 +164,16 @@ object PointInTimeJoin {
       if (createdFilter) src0.filter(col(view.createdTsCol.get).isNotNull)
       else src0
 
-    val etsType = probe.schema(entityTsCol).dataType
+    // Comparison type for the merged time axis: never cast the feature ts
+    // DOWN to a coarser entity type — a DateType entity frame would
+    // truncate feature times to midnight and leak same-day future rows
+    // (the join path's `fts <= ets` promotes instead; the two strategies
+    // must agree). Dates promote to the feature ts type; otherwise the
+    // entity type wins (e.g. tz vs ntz normalization).
+    val etsType = probe.schema(entityTsCol).dataType match {
+      case org.apache.spark.sql.types.DateType => src.schema(view.tsCol).dataType
+      case t => t
+    }
     val ordNames = view.createdTsCol.map(_ => "__ord_created").toSeq ++
       view.tieBreakCols.indices.map(i => s"__ord_tb$i")
 
@@ -326,12 +335,14 @@ object PointInTimeJoin {
         broadcast(probeB)
       else probeB
 
-    // J3: equi+theta range join.
+    // J3: equi+theta range join. The theta condition seeds the fold — a
+    // keyless view with no TTL has no equi keys at all and must still
+    // plan (an empty .reduce would throw).
     val fts = col("__src." + view.tsCol)
     val ets = col("__probe." + entityTsCol)
     var cond: Column = (keys ++ saltKeys ++ bucketKeys)
       .map(k => col("__src." + k) === col("__probe." + k))
-      .reduce(_ && _) && (fts <= ets)
+      .foldLeft(fts <= ets)(_ && _)
     if (view.ttlSeconds > 0)
       cond = cond && (fts >= ets - expr(s"INTERVAL ${view.ttlSeconds} SECONDS"))
     view.createdTsCol.foreach { c =>

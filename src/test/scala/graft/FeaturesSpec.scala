@@ -95,6 +95,22 @@ class FeaturesSpec extends SparkTestBase {
     }
   }
 
+  test("tiling sum-of-squares survives int values past the 46340 overflow point") {
+    import java.sql.Timestamp
+    // two 50k-ish values in one tile: int*int would wrap negative and
+    // poison var/std; the widened IR must give var_samp({50000, 50002}) = 2
+    val df = Seq(
+      ("c", Timestamp.valueOf("2026-01-01 00:00:10"), 50000),
+      ("c", Timestamp.valueOf("2026-01-01 00:01:00"), 50002)
+    ).toDF("conv_id", "ts", "v")
+    val out = graft.agg.Tiling.tiledAggregate(df, Seq("conv_id"), "ts", "v",
+        hopSec = 300L, windowSec = 600L)
+      .filter(col("count_w") === 2).select("var_w", "std_w")
+      .as[(Double, Double)].head()
+    assert(math.abs(out._1 - 2.0) < 1e-9, s"var_w ${out._1}")
+    assert(math.abs(out._2 - math.sqrt(2.0)) < 1e-9)
+  }
+
   test("unsupported aggregation function is rejected") {
     intercept[IllegalArgumentException] {
       Aggregations.aggColumn(Aggregation("x", "median"))

@@ -67,6 +67,38 @@ class PointInTimeJoinSpec extends SparkTestBase {
   test("PIT join matches brute-force oracle with TTL 1d") { runAndCheck(86400L) }
   test("PIT join matches brute-force oracle without TTL") { runAndCheck(0L) }
 
+  test("keyless view with no TTL plans and joins on the theta condition alone") {
+    val src = Seq(
+      (ts("2024-01-01 01:00:00"), 10.0, 1L),
+      (ts("2024-01-01 03:00:00"), 20.0, 2L)).toDF("ts", "g", "eid")
+    val entity = Seq(ts("2024-01-01 02:00:00"), ts("2024-01-01 04:00:00"))
+      .toDF("event_ts")
+    val v = FeatureView("glob", src, Nil, "ts", None, 0L,
+      features = Seq("g"), tieBreakCols = Seq("eid"))
+    val out = PointInTimeJoin.enrich(entity, v)
+      .orderBy("event_ts").as[(Timestamp, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      (ts("2024-01-01 02:00:00"), Some(10.0)),
+      (ts("2024-01-01 04:00:00"), Some(20.0))))
+  }
+
+  test("date-typed entity timestamps do not leak same-day future features") {
+    val src = Seq(
+      ("c1", ts("2024-01-01 10:00:00"), 111),  // later that day — must NOT leak
+      ("c1", ts("2023-12-31 09:00:00"), 42)    // prior day — the correct winner
+    ).toDF("conv_id", "ts", "v")
+    val entity = Seq(("c1", java.sql.Date.valueOf("2024-01-01")))
+      .toDF("conv_id", "event_ts")
+    val v = FeatureView("dv", src, Seq("conv_id"), "ts", None, 0L,
+      features = Seq("v"), tieBreakCols = Seq("v"))
+    // both physical strategies must agree: the date promotes to midnight,
+    // feature timestamps keep their time-of-day
+    val m = PointInTimeJoin.enrichMerge(entity, v)
+    val j = PointInTimeJoin.enrichJoin(entity, v)
+    assert(m.select("v").as[Int].head() == 42, "merge path leaked a future row")
+    assert(j.select("v").as[Int].head() == 42)
+  }
+
   test("unknown conv ids yield all-null features, rows preserved") {
     val out = PointInTimeJoin.enrich(entityDf, view(3600L))
       .filter(col("conv_id") === "conv_nope").collect()
