@@ -1093,7 +1093,8 @@ object SparkEntry {
         |FROM sess""".stripMargin),
 
     "dedup_exact" -> withTables(
-      """, h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      """, h AS (SELECT doc_id, md5(text) AS content_hash FROM documents
+        |        WHERE text IS NOT NULL),
         |g AS (SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS c
         |      FROM h GROUP BY 1)
         |SELECT h.doc_id, g.canonical_id, h.content_hash

@@ -53,6 +53,10 @@ object Sampling {
     */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    // 65536 hash buckets cannot express rates below 1/65536 — the filter
+    // would silently match nothing
+    require(fraction >= 1.0 || fraction * 65536 >= 1.0,
+      s"fraction $fraction is below the 1/65536 bucket granularity")
     if (fraction >= 1.0) df
     else df.filter(hashBucket(idCol) < lit(cutoffs(Seq(fraction, 1 - fraction)).head))
   }
@@ -100,8 +104,10 @@ object Sampling {
       .withColumn("__n", sum(col("__cnt")).over(totW))
       .select(strataCols.map(c => col(c).as(s"__o_$c")) ++
         Seq(col("__salt").as("__o_salt"), col("__offset"), col("__n")): _*)
+    // salt comparison is ALSO null-safe: md5 of a NULL id is NULL, and a
+    // plain === would silently drop NULL-id rows
     val joinCond = strataCols.map(c => col(c) <=> col(s"__o_$c"))
-      .reduce(_ && _) && (col("__salt") === col("__o_salt"))
+      .reduce(_ && _) && (col("__salt") <=> col("__o_salt"))
     val localW = Window.partitionBy(strata :+ col("__salt"): _*)
       .orderBy(col("__key"), col(idCol))
     keyed

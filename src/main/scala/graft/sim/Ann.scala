@@ -23,7 +23,16 @@ object Ann {
 
   def norm(a: Column): Column = graft.functions.VectorFunctions.norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** sim with NULL (not NaN) for zero-norm vectors: Spark orders NaN above
+    * every double, so a NaN sim would rank a zero embedding as the top
+    * neighbor of every query AND pass `sim >= threshold` filters; NULL
+    * sorts last under desc and fails every threshold.
+    */
+  private[sim] def simExpr(dotC: Column, n1: Column, n2: Column): Column =
+    when(n1 === 0.0 || n2 === 0.0, lit(null).cast("double"))
+      .otherwise(dotC / (n1 * n2))
+
+  def cosine(a: Column, b: Column): Column = simExpr(dot(a, b), norm(a), norm(b))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -50,7 +59,7 @@ object Ann {
       norm(col("c_vec").cast("array<double>")).as("__cn"))
     val scored = c.join(q, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn"))).as("sim"))
+        simExpr(dot(col("q_vec"), col("c_vec")), col("__qn"), col("__cn")).as("sim"))
     topK(scored, k)
   }
 
@@ -58,6 +67,7 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     scored
+      .filter(col("sim").isNotNull) // zero-norm pairs have no defined cosine
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 6).as("sim"))
@@ -72,6 +82,16 @@ object Ann {
     val rnd = new scala.util.Random(seed)
     Seq.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
+
+  /** A wrong `dim` makes every dot-vs-plane NULL → every bit 0 → every
+    * vector in bucket 0: LSH silently degenerates to the all-pairs cross
+    * join it exists to avoid. One-row probe, loud failure instead.
+    */
+  private[sim] def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit =
+    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"declared dim=$dim but $vecCol vectors have length ${r.getInt(0)}")
+    }
 
   /** Bucket signature of `vec` in table `t`: bit b = sign(vec · plane_b). */
   private[sim] def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
@@ -93,6 +113,7 @@ object Ann {
       dim: Int = 64,
       seed: Long = 20260816L
   ): DataFrame = {
+    requireDim(corpus, "c_vec", dim)
     val hp = hyperplanes(tables, bits, dim, seed)
     def withBuckets(df: DataFrame, idC: String, vecC: String): DataFrame = {
       val v = col(vecC).cast("array<double>")
@@ -264,7 +285,7 @@ object Ann {
     val scored = qProbes.join(cAssigned, "__cell")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn"))).as("sim"))
+        simExpr(dot(col("q_vec"), col("c_vec")), col("__qn"), col("__cn")).as("sim"))
       .dropDuplicates("q_id", "c_id")
     topK(scored, k)
   }

@@ -33,8 +33,8 @@ object EmbeddingDedup {
     val b = side.toDF("b", "__vb", "__nb")
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(Ann.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6)
-          .as("sim"))
+        round(Ann.simExpr(Ann.dot(col("__va"), col("__vb")),
+          col("__na"), col("__nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -60,6 +60,7 @@ object EmbeddingDedup {
       dim: Int = 64,
       seed: Long = 20260816L
   ): DataFrame = {
+    Ann.requireDim(df, vecCol, dim)
     val hp = Ann.hyperplanes(tables, bits, dim, seed)
     val v = col(vecCol).cast("array<double>")
     val bucketStructs = hp.zipWithIndex.map { case (planes, t) =>
@@ -75,8 +76,8 @@ object EmbeddingDedup {
       .filter(col("a") < col("b_"))
       .dropDuplicates("a", "b_")
       .select(col("a"), col("b_").as("b"),
-        round(Ann.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6)
-          .as("sim"))
+        round(Ann.simExpr(Ann.dot(col("__va"), col("__vb")),
+          col("__na"), col("__nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

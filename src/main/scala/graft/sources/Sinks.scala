@@ -31,6 +31,9 @@ object Sinks {
       (actual, f.dataType) match {
         case (_: StructType, StringType) => to_json(col(f.name)).as(f.name)
         case (_: MapType, StringType)    => to_json(col(f.name)).as(f.name)
+        // arrays targeting STRING must serialize as JSON too — cast()
+        // renders Spark's non-JSON '[{1, a}]' text
+        case (_: ArrayType, StringType)  => to_json(col(f.name)).as(f.name)
         case (a, t) if a == t            => col(f.name)
         case (_, t)                      => col(f.name).cast(t).as(f.name)
       }

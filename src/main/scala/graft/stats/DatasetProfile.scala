@@ -37,8 +37,8 @@ object DatasetProfile {
     def distinctAgg(c: String) =
       if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
     def pct(c: String, q: Double) =
-      if (exact) expr(s"percentile($c, $q)")
-      else expr(s"approx_percentile($c, $q)")
+      if (exact) expr(s"percentile(`$c`, $q)")
+      else expr(s"approx_percentile(`$c`, $q)")
     // (column, metric) -> aggregate expression, flattened into ONE agg pass
     val metricExprs: Seq[(String, String, org.apache.spark.sql.Column)] =
       cols.flatMap { c =>

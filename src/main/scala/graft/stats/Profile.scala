@@ -45,9 +45,14 @@ object Profile {
     * (a tiny agg action), then one groupBy.
     */
   def histogram(df: DataFrame, column: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
     val c = col(column)
-    val Row(mn: Double, mx: Double) =
-      df.agg(min(c).cast("double"), max(c).cast("double")).head()
+    val boundsRow = df.agg(min(c).cast("double"), max(c).cast("double")).head()
+    if (boundsRow.isNullAt(0) || boundsRow.isNullAt(1))
+      // empty or all-NULL column: an empty histogram, not a MatchError
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0).as("bucket"), lit(0L).as("cnt")).limit(0)
+    val (mn, mx) = (boundsRow.getDouble(0), boundsRow.getDouble(1))
     val width = (mx - mn) / bins
     val bucket = least(greatest(floor((c - lit(mn)) / lit(width)) + 1, lit(1)), lit(bins))
     df.filter(c.isNotNull)

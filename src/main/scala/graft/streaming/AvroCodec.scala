@@ -130,18 +130,28 @@ object AvroCodec {
     val rootStruct = {
       val s = new Schema.Parser().parse(schemaJson)
       require(s.getType == Schema.Type.RECORD, s"top-level schema must be a record, got $s")
-      sparkType(s).asInstanceOf[StructType]
+      // top-level fields nullable: a NULL value (Kafka tombstone) decodes
+      // to an all-null row — from_avro/from_json behave the same — instead
+      // of an NPE that kills the streaming query
+      val st = sparkType(s).asInstanceOf[StructType]
+      StructType(st.fields.map(_.copy(nullable = true)))
     }
+    val nFields = rootStruct.size
     df.select(col(valueCol).cast("binary").as("value"))
       .mapPartitions { it =>
         val schema = new Schema.Parser().parse(schemaJson)
         val reader = new GenericDatumReader[GenericRecord](schema)
         var decoder: BinaryDecoder = null
         var record: GenericRecord = null
+        val nullRow = Row.fromSeq(Seq.fill(nFields)(null))
         it.map { row =>
-          decoder = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](0), decoder)
-          record = reader.read(record, decoder)
-          toSpark(record, schema).asInstanceOf[Row]
+          val bytes = row.getAs[Array[Byte]](0)
+          if (bytes == null) nullRow
+          else {
+            decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+            record = reader.read(record, decoder)
+            toSpark(record, schema).asInstanceOf[Row]
+          }
         }
       }(Encoders.row(rootStruct))
   }

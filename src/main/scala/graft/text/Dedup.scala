@@ -42,7 +42,10 @@ object Dedup {
     * id. One shuffle on the hash.
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    // NULL text is missing content, not shared content — grouping NULL
+    // hashes would report unrelated empty docs as duplicates of each other
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
       .withColumn("canonical_id",
         min(col(idCol)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
@@ -219,8 +222,15 @@ object Dedup {
       bCol: String = "b",
       maxIterations: Int = 50
   ): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // numeric ids propagate as long; anything else (UUID/string doc ids)
+    // as string with lexicographic-min canonicals — a blind cast("long")
+    // would NULL every string id and the dedup would silently drop nothing
+    val castType = pairs.schema(aCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => "long"
+      case _ => "string"
+    }
+    val edges = pairs.select(col(aCol).cast(castType).as("src"), col(bCol).cast(castType).as("dst"))
+      .union(pairs.select(col(bCol).cast(castType).as("src"), col(aCol).cast(castType).as("dst")))
       .distinct()
       .localCheckpoint()
 

@@ -115,6 +115,30 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.6, f"recall@5 = $recall%.2f too low")
   }
 
+  test("zero-norm vectors never rank, never pair, and never NaN-poison results") {
+    val c = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (99L, Array(0.0f, 0.0f)) // zero embedding (e.g. empty document)
+    ).toDF("c_id", "c_vec")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val top = Ann.bruteForceTopK(q, c, k = 5)
+      .select("c_id").as[Long].collect().toSet
+    assert(top == Set(2L), s"zero vector must not appear as a neighbor: $top")
+    val pairs = graft.sim.EmbeddingDedup.cosinePairs(
+      c.toDF("vec_id", "embedding"), "vec_id", "embedding", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"zero vector must not pair: $pairs")
+  }
+
+  test("declared dim mismatch fails loudly instead of degenerating LSH") {
+    val c = Seq((1L, Array.fill(8)(0.5f))).toDF("c_id", "c_vec")
+    val q = Seq((2L, Array.fill(8)(0.5f))).toDF("q_id", "q_vec")
+    val e = intercept[IllegalArgumentException] {
+      Ann.lshTopK(q, c, k = 1, dim = 64)
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("cosine expression matches the Scala computation") {
     val pairs = queries.limit(2).crossJoin(corpus.limit(3))
     val got = pairs.select(col("q_id"), col("c_id"),

@@ -68,6 +68,26 @@ class AvroCodecSpec extends SparkTestBase {
     assert(out(1).getAs[String]("tool") == "search")
   }
 
+  test("a NULL value (Kafka tombstone) decodes to an all-null row, not an NPE") {
+    val schema =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"k","type":"string"},{"name":"v","type":"int"}]}""".stripMargin
+    val bytes = {
+      val s = new Schema.Parser().parse(schema)
+      val rec = new GenericData.Record(s)
+      rec.put("k", "a"); rec.put("v", 7)
+      val out = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](s).write(rec, enc)
+      enc.flush(); out.toByteArray
+    }
+    val df = Seq(Some(bytes), None).map(_.orNull).toDF("value")
+    val rows = AvroCodec.decode(df, "value", schema).collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.getString(0) == "a" && r.getInt(1) == 7))
+    assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("spark schema derivation covers the supported surface") {
     val schema =
       """{"type":"record","name":"R","fields":[
@@ -118,7 +138,10 @@ class AvroCodecSpec extends SparkTestBase {
       AvroCodec.sparkType(new Schema.Parser().parse(schema)).asInstanceOf[StructType])
 
     val out = AvroCodec.decode(AvroCodec.encode(in, schema), "value", schema)
-    assert(out.schema == in.schema)
+    // decode relaxes TOP-LEVEL nullability (tombstones yield all-null
+    // rows); types and nested nullability are preserved exactly
+    val relaxed = StructType(in.schema.fields.map(_.copy(nullable = true)))
+    assert(out.schema == relaxed)
     assert(out.orderBy("id").collect().toSeq == in.orderBy("id").collect().toSeq)
   }
 

@@ -95,6 +95,22 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("NULL text is missing content, never an exact-duplicate group") {
+    val docs = Seq((1L, "same words"), (2L, "same words"),
+      (3L, null), (4L, null)).toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L), "NULL-text docs must not group together")
+  }
+
+  test("duplicate clusters work with string doc ids (lexicographic-min canonical)") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("a", "b")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"),
+      s"string ids must propagate, got $out")
+  }
+
   test("language id picks the marker language; und when no markers") {
     val multi = Seq(
       (1L, "the cat and the dog of the house"),
