@@ -48,6 +48,18 @@ object Tiling {
     val k = keys.map(col)
     val hopUs = hopSec * 1000000L
 
+    // widen BEFORE squaring: int*int wraps negative at |v| > 46340
+    // (non-ANSI), silently corrupting var/std downstream. Integral types
+    // widen to long (exact); fractional/decimal to double — a long cast
+    // there would TRUNCATE fractional values and skew var/std instead
+    val widened = {
+      import org.apache.spark.sql.types._
+      df.schema(valueCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => col(valueCol).cast("long")
+        case _ => col(valueCol).cast("double")
+      }
+    }
+
     // 1. per-(keys, hop) IR tiles (orchestrator.py:18-90)
     val tiles = df
       .withColumn("__hop", floor(unix_micros(col(tsCol).cast("timestamp")) / hopUs))
@@ -55,9 +67,7 @@ object Tiling {
       .agg(
         sum(col(valueCol)).as("__s"),
         count(col(valueCol)).as("__c"),
-        // widen BEFORE squaring: int*int wraps negative at |v| > 46340
-        // (non-ANSI), silently corrupting var/std downstream
-        sum(col(valueCol).cast("long") * col(valueCol).cast("long")).as("__ss"),
+        sum(widened * widened).as("__ss"),
         max(col(valueCol)).as("__mx"))
 
     // 2.+3. sparse breakpoint stream instead of a dense grid join.

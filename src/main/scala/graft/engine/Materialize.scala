@@ -38,8 +38,26 @@ object Materialize {
   // feature_view.py:482-490). Interval bookkeeping is a per-view jsonl
   // ledger next to the backfill manifests. -------------------------------
 
+  /** View names reach the ledger FILENAME and the JSON line: path
+    * separators or quotes in a name would escape the interval directory or
+    * corrupt the jsonl (writeManifest escapes its interpolations; the
+    * ledger must too). Filenames sanitize to a safe charset; JSON strings
+    * escape quotes/backslashes/control chars.
+    */
+  private def safeFileName(viewName: String): String = {
+    require(viewName.nonEmpty, "view name must be non-empty")
+    viewName.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   private def ledgerPath(dir: String, viewName: String) =
-    Paths.get(dir, s"$viewName.intervals.jsonl")
+    Paths.get(dir, s"${safeFileName(viewName)}.intervals.jsonl")
 
   /** Most recent materialized end time of `viewName`, if any. */
   def mostRecentEnd(intervalDir: String, viewName: String): Option[Timestamp] = {
@@ -57,7 +75,8 @@ object Materialize {
   def recordInterval(intervalDir: String, viewName: String,
                      start: Timestamp, end: Timestamp): Unit = {
     Files.createDirectories(Paths.get(intervalDir))
-    val line = s"""{"view": "$viewName", "start": "$start", "end": "$end"}\n"""
+    val line =
+      s"""{"view": "${jsonEscape(viewName)}", "start": "$start", "end": "$end"}\n"""
     Files.write(ledgerPath(intervalDir, viewName),
       line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -88,10 +88,14 @@ object Ann {
     * join it exists to avoid. One-row probe, loud failure instead.
     */
   private[sim] def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit =
-    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == dim,
-        s"declared dim=$dim but $vecCol vectors have length ${r.getInt(0)}")
-    }
+    // probe a non-NULL row: size(NULL) is NULL and getInt on it would throw
+    // an opaque NPE instead of the diagnostic this guard exists to give
+    df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+        require(!r.isNullAt(0) && r.getInt(0) == dim,
+          s"declared dim=$dim but $vecCol vectors have length " +
+            (if (r.isNullAt(0)) "NULL" else r.getInt(0).toString))
+      }
 
   /** Bucket signature of `vec` in table `t`: bit b = sign(vec · plane_b). */
   private[sim] def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =

@@ -57,11 +57,20 @@ object Sinks {
 
   /** S8: remote-storage export (spark.py:1153-1201): write the result as
     * parquet under a staging directory and return the data-file URIs — the
-    * hand-off contract for engines that ingest files.
+    * hand-off contract for engines that ingest files. The staging URI may
+    * carry any scheme Hadoop has a FileSystem for (s3a://, gs://, hdfs://,
+    * abfs://, file://, …; the reference enumerates s3/gs/azure/hdfs) —
+    * listing goes through the Hadoop FS API of the URI's own filesystem, so
+    * no local-path assumption leaks in.
     */
   def exportToStaging(df: DataFrame, stagingDir: String): Seq[String] = {
     df.write.mode("overwrite").parquet(stagingDir)
-    df.sparkSession.read.parquet(stagingDir).inputFiles.toSeq.sorted
+    val dir = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .sorted
   }
 
   /** S9: persist a retrieval result as a saved dataset and read it back —

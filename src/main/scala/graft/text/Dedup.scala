@@ -24,7 +24,12 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
                distinct: Boolean = true): DataFrame = {
     val toks = split(col(textCol), " ")
-    val sh = df.select(
+    // NULL text is missing content: emitting the otherwise-branch's
+    // array(NULL) shingle would make every NULL-text doc collide with every
+    // other (xxhash64(NULL) is a constant), e.g. flagging all NULL-text
+    // train docs as contaminated by one NULL-text benchmark doc — mirror
+    // exactDuplicates and emit nothing
+    val sh = df.filter(col(textCol).isNotNull).select(
       col(idCol),
       explode(
         when(size(toks) >= n,
@@ -63,6 +68,11 @@ object Dedup {
     * Scale note: ultra-frequent shingles make the pair explosion
     * quadratic; production runs should cap document frequency
     * (`maxShingleDf`) — kept off by default so the result stays exact.
+    * With a cap engaged, Jaccard is computed on the CAPPED shingle
+    * universe (per-doc sizes count only surviving shingles): boilerplate
+    * shingles are removed from both the numerator and the denominator, so
+    * two docs identical except for ultra-common shingles still score 1.0
+    * rather than being systematically underestimated (DedupSpec pins this).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -72,26 +82,32 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Int] = None
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val shF = maxShingleDf match {
+    // the shingle frame feeds both the inverted index and the per-doc
+    // sizes: materialize it once (eager local checkpoint) instead of
+    // re-tokenizing the corpus per consumer
+    val sh0 = shingles(df, idCol, textCol, n).localCheckpoint()
+    val sh = maxShingleDf match {
       case Some(cap) =>
-        val freq = sh.groupBy("shingle").count().filter(col("count") <= cap)
-        sh.join(freq.select("shingle"), "shingle")
-      case None => sh
+        val freq = sh0.groupBy("shingle").count().filter(col("count") <= cap)
+        sh0.join(freq.select("shingle"), "shingle").localCheckpoint()
+      case None => sh0
     }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    pairsFromShared(shF, sizes, idCol, threshold)
-  }
-
-  /** Intersection counts of shared shingles → Jaccard filter. */
-  private def pairsFromShared(
-      sh: DataFrame, sizes: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val a = sh.toDF("a", "shingle")
     val b = sh.toDF("b", "shingle")
-    a.join(b, Seq("shingle"))
+    val inter = a.join(b, Seq("shingle"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("__inter"))
+    jaccardFilter(inter, sh, idCol, threshold)
+  }
+
+  /** (a, b, __inter) + per-doc distinct-shingle sizes → Jaccard ≥ threshold.
+    * Shared verification tail of the exact and MinHash-LSH generators.
+    */
+  private def jaccardFilter(
+      inter: DataFrame, sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    inter
       .join(sizes.toDF("a", "__na"), "a")
       .join(sizes.toDF("b", "__nb"), "b")
       .withColumn("jaccard",
@@ -134,27 +150,48 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16
   ): DataFrame = {
+    // The shingle frame feeds three stages (signature, per-doc sizes, exact
+    // verification): materialize it ONCE — eager local checkpoint — instead
+    // of re-tokenizing the corpus per stage. At 100 TB the redundant
+    // tokenization scans would dominate the whole dedup job. (localCheckpoint
+    // stores to executor memory/disk; on a cluster where executor loss
+    // mid-job must be survivable, swap for persist(MEMORY_AND_DISK) or a
+    // reliable checkpoint — same call shape.)
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    minHashLshPairsFromShingles(sh, idCol, threshold, numHashes, bands)
+  }
+
+  /** [[minHashLshPairs]] over a pre-materialized `(id, shingle)` frame —
+    * the entry point for pipelines that already hold the shingle stage
+    * (curation chains, repeated-threshold sweeps).
+    */
+  def minHashLshPairsFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val (as, bs) = permParams(numHashes)
 
-    val sh = shingles(df, idCol, textCol, n)
-    // (id, i, v) — i-th permutation value of each shingle; min per (id, i)
+    // MinHash signature as ONE wide aggregation: numHashes min-columns per
+    // doc, each over a universal-hash permutation of the shingle hash.
+    // Map-side combine collapses the shuffle to one slim row per doc —
+    // the explode-×numHashes alternative shuffles 64× the shingle stream.
     val hv = pmod(xxhash64(col("shingle")), lit(P))
-    val perms = sh.select(
-      col(idCol),
-      explode(transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        struct(i.as("i"),
-          pmod(element_at(typedLit(as), i + 1) * hv + element_at(typedLit(bs), i + 1),
-            lit(P)).as("v")))).as("p"))
-      .select(col(idCol), col("p.i").as("i"), col("p.v").as("v"))
-    val sig = perms
-      .groupBy(col(idCol), col("i"))
-      .agg(min(col("v")).as("mh"))
-      .withColumn("band", (col("i") / rows).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(sort_array(collect_list(struct(col("i"), col("mh")))).as("sig"))
-      .select(col(idCol), col("band"), col("sig.mh").as("bandSig"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * hv + lit(bs(i)), lit(P))).as(s"__mh$i"))
+    val sigWide = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array((b * rows until (b + 1) * rows).map(i => col(s"__mh$i")): _*)
+          .as("sig"))
+    }
+    val sig = sigWide
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.sig").as("bandSig"))
 
     // bucket-join: docs sharing (band, bandSig) are candidates
     val l = sig.toDF("a", "band", "bandSig")
@@ -165,19 +202,13 @@ object Dedup {
       .distinct()
 
     // exact verification of candidates only
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val aSh = sh.toDF("a", "shingle")
     val bSh = sh.toDF("b", "shingle")
-    candidates
+    val inter = candidates
       .join(aSh, "a").join(bSh, Seq("b", "shingle"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("__inter"))
-      .join(sizes.toDF("a", "__na"), "a")
-      .join(sizes.toDF("b", "__nb"), "b")
-      .withColumn("jaccard",
-        round(col("__inter") / (col("__na") + col("__nb") - col("__inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    jaccardFilter(inter, sh, idCol, threshold)
   }
 
   /** 64-bit SimHash signature per document: bit k of the signature is the
@@ -206,15 +237,20 @@ object Dedup {
     * cluster labelled min(a,b,c)). Input: (a, b) pair columns from any of
     * the pair generators above; output: (doc_id, cluster_id).
     *
-    * Distributed min-label propagation: each round joins the current labels
-    * across the edge list and keeps the per-node minimum — two shuffles per
-    * round, both on doc-id keys, converging in O(component diameter) rounds.
-    * Near-dup clusters are shallow (dups of a common ancestor), so 2–3
-    * rounds is typical; `localCheckpoint` truncates the lineage each round
-    * so the plan does not grow with iterations, and convergence is detected
-    * with a cheap changed-row count. For adversarially chained graphs
-    * (diameter ~ n) switch to star-contraction (large-star/small-star,
-    * O(log² n) rounds) — not needed for dedup workloads.
+    * Distributed min-label propagation with pointer doubling: each round
+    * (1) joins the current labels across the edge list and keeps the
+    * per-node minimum, then (2) path-compresses by looking up the label OF
+    * the label (labels are node ids, so the label table doubles as a parent
+    * table). Step 1 alone converges in O(component diameter) rounds — fine
+    * for shallow dedup graphs (dups of a common ancestor, 2–3 rounds) but
+    * an adversarially chained graph (diameter ~ n) would exhaust any round
+    * budget; step 2 halves chain depth per round (the star-contraction /
+    * pointer-jumping technique of the MapReduce connected-components
+    * literature), so convergence is O(log diameter) — a 10⁶-long chain
+    * closes in ~20 rounds. Labels only decrease and always name a node of
+    * the same component, so the fixpoint is exactly the per-component min.
+    * `localCheckpoint` truncates lineage each round so the plan does not
+    * grow with iterations; convergence is a cheap changed-row count.
     */
   def duplicateClusters(
       pairs: DataFrame,
@@ -229,8 +265,14 @@ object Dedup {
       case _: org.apache.spark.sql.types.NumericType => "long"
       case _ => "string"
     }
-    val edges = pairs.select(col(aCol).cast(castType).as("src"), col(bCol).cast(castType).as("dst"))
-      .union(pairs.select(col(bCol).cast(castType).as("src"), col(aCol).cast(castType).as("dst")))
+    // materialize the (possibly expensive) pair generation ONCE — the
+    // union below consumes it twice, and every propagation round reads the
+    // edge list again
+    val p0 = pairs
+      .select(col(aCol).cast(castType).as("src"), col(bCol).cast(castType).as("dst"))
+      .localCheckpoint()
+    val edges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
 
@@ -242,28 +284,34 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIterations) {
-      // label(v) <- min(label(v), min over neighbors u of label(u))
+      // step 1: label(v) <- min(label(v), min over neighbors u of label(u))
       val neighborMin = edges
         .join(labels.select(col("src").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min(col("nl")).as("nmn"))
-      // change indicator computed in the same pass — the convergence count
-      // then reads the checkpointed result, no old-vs-new re-join
-      val next = labels.join(neighborMin, Seq("src"), "left")
-        .select(col("src"),
-          least(col("label"), coalesce(col("nmn"), col("label"))).as("label"),
-          (coalesce(col("nmn"), col("label")) < col("label")).as("__changed"))
+      val propagated = labels.join(neighborMin, Seq("src"), "left")
+        .select(col("src"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nmn"), col("label"))).as("label"))
+        .localCheckpoint()
+      // step 2: pointer doubling — label(v) <- min(label(v), label(label(v)))
+      val jump = propagated.select(col("src").as("__p"), col("label").as("__pl"))
+      val next = propagated
+        .join(jump, col("label") === col("__p"), "left")
+        .withColumn("__new", least(col("label"), coalesce(col("__pl"), col("label"))))
+        .select(col("src"), col("__new").as("label"),
+          (col("__new") < col("__old")).as("__changed"))
         .localCheckpoint()
       changed = next.filter(col("__changed")).count()
       labels = next.drop("__changed")
       iter += 1
     }
     // non-convergence must be loud: partially propagated labels would keep
-    // several "canonical" docs per cluster downstream with no signal
+    // several "canonical" docs per cluster downstream with no signal.
+    // (With pointer doubling this needs diameter > 2^maxIterations — in
+    // practice unreachable.)
     if (changed > 0)
       throw new IllegalStateException(
         s"duplicateClusters did not converge after $maxIterations rounds " +
-          s"($changed labels still changing) — component diameter exceeds the " +
-          "budget; raise maxIterations or use star-contraction for chained graphs")
+          s"($changed labels still changing) — raise maxIterations")
     labels.select(col("src").as("doc_id"), col("label").as("cluster_id"))
   }
 
