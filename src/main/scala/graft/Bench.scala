@@ -43,11 +43,7 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** The scaling workload: full historical retrieval (PIT join with TTL +
-    * salting guard) of per-turn features onto an entity frame sampled from
-    * the transcript (~1 row per 10 turns).
-    */
-  private def retrieval(spark: SparkSession, path: String): DataFrame = {
+  private def scaleInputs(spark: SparkSession, path: String): (DataFrame, FeatureView) = {
     val t = spark.read.parquet(path)
     val entity = t
       .filter(pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(10)) === 0)
@@ -58,7 +54,29 @@ object Bench {
       Seq("conv_id"), "ts", None, ttlSeconds = 4 * 3600L,
       features = Seq("turn_idx", "role", "text_len"),
       tieBreakCols = Seq("turn_idx"))
+    (entity, view)
+  }
+
+  /** The primary scaling workload: full historical retrieval (merge-path
+    * as-of join with TTL) of per-turn features onto an entity frame sampled
+    * from the transcript (~1 row per 10 turns).
+    */
+  private def retrieval(spark: SparkSession, path: String): DataFrame = {
+    val (entity, view) = scaleInputs(spark, path)
     engine.Historical.getHistoricalFeatures(entity, Seq(view))
+  }
+
+  /** The second scaling workload: the SAME retrieval forced down the
+    * salted time-bucketed JOIN path (the pit_salted shape — the skew
+    * machinery of the north rule). hotKeyRowThreshold 1000 < the 3000-turn
+    * hot conversations of the synthetic table, so the 1% hot keys really
+    * are salted into 8 subkeys; results are byte-identical to the merge
+    * path (SaltingSpec / path-equivalence specs pin this at test scale).
+    */
+  private def retrievalSaltedJoin(spark: SparkSession, path: String): DataFrame = {
+    val (entity, view) = scaleInputs(spark, path)
+    pit.PointInTimeJoin.enrich(entity, view,
+      saltBuckets = 8, hotKeyRowThreshold = 1000L)
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,11 +131,20 @@ object Bench {
       name -> best
     }.filterNot(_._2.isNaN)
 
-    // ---- scale-input generation (still in the sweep session) ----
+    // ---- scale-input generation (still in the sweep session). The join-
+    // path block gets a quarter-size table: the bucketed join does ~4× the
+    // merge path's work per turn, so this keeps both blocks' wall time
+    // comparable within the bench budget. ----
     if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
       Transcripts.syntheticDistributed(spark, scaleConvs, turnsPerConv = 60)
         .write.mode("overwrite").parquet(scalePath)
     val turns = spark.read.parquet(scalePath).count()
+    val joinConvs = math.max(scaleConvs / 4, 1L)
+    val joinScalePath = s"/tmp/graft_bench_scale_$joinConvs"
+    if (!new java.io.File(s"$joinScalePath/_SUCCESS").exists())
+      Transcripts.syntheticDistributed(spark, joinConvs, turnsPerConv = 60)
+        .write.mode("overwrite").parquet(joinScalePath)
+    val joinTurns = spark.read.parquet(joinScalePath).count()
     spark.stop()
 
     // ---- phase 2: the scaling pair, each in a FRESH session (the
@@ -132,7 +159,8 @@ object Bench {
     // steal parked on OTHER cores — so task_sec_4N / task_sec_N ≈ 1 is
     // direct evidence the job adds no coordination/skew overhead at 4N and
     // wall-clock gaps are environmental, not algorithmic.
-    def sessionMin(cores: Int, reps: Int): (Double, Double) = {
+    def sessionMin(cores: Int, reps: Int,
+        job: (SparkSession, String) => DataFrame, path: String): (Double, Double) = {
       val s = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-bench-scale-$cores")
@@ -152,12 +180,12 @@ object Bench {
       // — the comparison is against the best BEFORE this run, so a big
       // improvement keeps warming instead of trivially satisfying
       // last <= last*1.1 and stopping after 2 runs mid-cache-fill.
-      var best = timeSec(force(retrieval(s, scalePath)))
+      var best = timeSec(force(job(s, path)))
       var w = 1
       var improving = true
       while (w < 5 && improving) {
         val prev = best
-        val last = timeSec(force(retrieval(s, scalePath)))
+        val last = timeSec(force(job(s, path)))
         best = math.min(best, last)
         improving = last < prev * 0.9
         w += 1
@@ -168,7 +196,7 @@ object Bench {
         // events from the previous rep cross-attribute into this one
         Thread.sleep(300)
         taskMs.set(0L)
-        val t = timeSec(force(retrieval(s, scalePath)))
+        val t = timeSec(force(job(s, path)))
         Thread.sleep(300)
         (t, taskMs.get() / 1000.0)
       }
@@ -183,36 +211,53 @@ object Bench {
     // sessions put both levels under the same drift and the per-level min
     // across rounds is the stable estimator of job cost. Early-exit once
     // both levels have stopped improving and efficiency is credible.
-    val order = Seq(nLarge, nSmall, nLarge, nSmall, nLarge, nSmall, nLarge, nSmall,
-      nLarge, nSmall)
-    val mins = scala.collection.mutable.Map[Int, Double]()
-    val taskSecs = scala.collection.mutable.Map[Int, Double]()
-    var round = 0
-    var sinceImprovement = 0
-    // wall budget: after both levels have two sessions, stop at the deadline
-    // even if still below 0.8 — a 2-core session is minutes, and unbounded
-    // floor-hunting must not blow the round's bench budget
-    val deadline = System.currentTimeMillis() +
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "25").toLong * 60000L
-    while (round < order.length &&
-      (round < 4 ||
-        ((sinceImprovement < 2 ||
-          (turns / mins(nLarge)) / (turns / mins(nSmall)) / (nLarge.toDouble / nSmall) < 0.8) &&
-          System.currentTimeMillis() < deadline))) {
-      val c = order(round)
-      val (t, task) = sessionMin(c, reps = 3)
-      taskSecs(c) = math.min(taskSecs.getOrElse(c, Double.MaxValue), task)
-      if (t < mins.getOrElse(c, Double.MaxValue)) {
-        mins(c) = t; sinceImprovement = 0
-      } else sinceImprovement += 1
-      round += 1
+    // The wall budget stops a floor hunt at its deadline even below 0.8 —
+    // a 2-core session is minutes, and unbounded floor-hunting must not
+    // blow the round's bench budget.
+    def floorHunt(job: (SparkSession, String) => DataFrame, path: String,
+        jobTurns: Long, budgetMin: Long, reps: Int): String = {
+      val order = Seq(nLarge, nSmall, nLarge, nSmall, nLarge, nSmall, nLarge,
+        nSmall, nLarge, nSmall)
+      val mins = scala.collection.mutable.Map[Int, Double]()
+      val taskSecs = scala.collection.mutable.Map[Int, Double]()
+      var round = 0
+      var sinceImprovement = 0
+      val deadline = System.currentTimeMillis() + budgetMin * 60000L
+      while (round < order.length &&
+        (round < 4 ||
+          ((sinceImprovement < 2 ||
+            (jobTurns / mins(nLarge)) / (jobTurns / mins(nSmall)) / (nLarge.toDouble / nSmall) < 0.8) &&
+            System.currentTimeMillis() < deadline))) {
+        val c = order(round)
+        val (t, task) = sessionMin(c, reps, job, path)
+        taskSecs(c) = math.min(taskSecs.getOrElse(c, Double.MaxValue), task)
+        if (t < mins.getOrElse(c, Double.MaxValue)) {
+          mins(c) = t; sinceImprovement = 0
+        } else sinceImprovement += 1
+        round += 1
+      }
+      val sec4N = mins(nLarge)
+      val secN = mins(nSmall)
+      val thrN = jobTurns / secN
+      val thr4N = jobTurns / sec4N
+      val efficiency = (thr4N / thrN) / (nLarge.toDouble / nSmall)
+      // work_ratio = task_sec_4N / task_sec_N: total executor work done at
+      // 4N relative to N (≈1 ⇒ zero parallelization overhead; steal-immune
+      // complement to the wall-clock efficiency on this noisy VM)
+      val workRatio = taskSecs(nLarge) / taskSecs(nSmall)
+      s"""{"cores_n":$nSmall,"cores_4n":$nLarge,"turns":$jobTurns,""" +
+        f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,""" +
+        f""""turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,""" +
+        f""""task_sec_n":${taskSecs(nSmall)}%.1f,"task_sec_4n":${taskSecs(nLarge)}%.1f,""" +
+        f""""work_ratio":$workRatio%.3f,"efficiency":$efficiency%.3f}"""
     }
-    val sec4N = mins(nLarge)
-    val secN = mins(nSmall)
-
-    val thrN = turns / secN
-    val thr4N = turns / sec4N
-    val efficiency = (thr4N / thrN) / (nLarge.toDouble / nSmall)
+    val scaling = floorHunt(retrieval, scalePath, turns,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "20").toLong, reps = 3)
+    // second block: the salted time-bucketed join path (skew machinery) on
+    // the quarter-size table — evidences that the join path, not just the
+    // merge path, scales N→4N with work_ratio ≈ 1
+    val scalingJoin = floorHunt(retrievalSaltedJoin, joinScalePath, joinTurns,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_JOIN_BUDGET_MIN", "12").toLong, reps = 2)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -220,19 +265,9 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // work_ratio = task_sec_4N / task_sec_N: total executor work done at 4N
-    // relative to N (≈1 ⇒ zero parallelization overhead; steal-immune
-    // complement to the wall-clock efficiency on this noisy VM)
-    val workRatio = taskSecs(nLarge) / taskSecs(nSmall)
-    val scaling =
-      s"""{"cores_n":$nSmall,"cores_4n":$nLarge,"turns":$turns,""" +
-        f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,""" +
-        f""""turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,""" +
-        f""""task_sec_n":${taskSecs(nSmall)}%.1f,"task_sec_4n":${taskSecs(nLarge)}%.1f,""" +
-        f""""work_ratio":$workRatio%.3f,"efficiency":$efficiency%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"sf":"$sfDir","flagship":"pit_latest_turn",""" +
-        s""""scaling":$scaling}""")
+        s""""scaling":$scaling,"scaling_join":$scalingJoin}""")
   }
 }

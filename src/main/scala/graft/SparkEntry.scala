@@ -191,6 +191,74 @@ object SparkEntry {
         Seq("turn_stats:turn_idx", "turn_stats:text_len", "qb:score_pct"),
         fullFeatureNames = true)
     }),
+    // Durable registry round trip (infra/registry/file.py;
+    // feature_store.py:1556 apply): the same definitions as registry_refs,
+    // but written to a JSON registry file as serializable specs (source
+    // descriptors + SQL transforms, no live DataFrames/closures) across TWO
+    // apply calls (exercising the upsert merge), then reloaded into a fresh
+    // Registry and retrieved by ref — must hash-match the in-memory
+    // registry's oracle exactly.
+    "registry_durable" -> ((s, dir) => {
+      import graft.engine.{DurableRegistry, OdfvSpec, OutputExpr, SourceSpec, ViewSpec}
+      val regPath = java.nio.file.Files
+        .createTempDirectory("graft_reg").toString + "/registry.json"
+      val turnStatsSql =
+        """SELECT conv_id, ts, turn_idx, role, length(text) AS text_len,
+          |  tool IS NOT NULL AS is_tool, ts AS turn_ts
+          |FROM (
+          |  SELECT concat('conv_', CAST(user_id AS STRING)) AS conv_id,
+          |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+          |    CASE WHEN event_id % 3 = 0 THEN 'user'
+          |         WHEN event_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+          |    concat(event_type, ' ', props) AS text,
+          |    CASE WHEN event_id % 3 = 2 THEN event_type END AS tool,
+          |    ts
+          |  FROM __src)""".stripMargin
+      val convQualitySql =
+        """SELECT concat('conv_', CAST(user_id AS STRING)) AS conv_id,
+          |  value + (event_id % 3) * 1000.0 AS score, ts,
+          |  ts + CAST(event_id % 3 AS INT) * INTERVAL 1 DAY AS created_ts,
+          |  event_id
+          |FROM __src""".stripMargin
+      DurableRegistry.apply(regPath, views = Seq(
+        ViewSpec("turn_stats",
+          SourceSpec("parquet", s"$dir/events.parquet",
+            transformSql = Some(turnStatsSql)),
+          Seq("conv_id"), "ts", None, 4 * 3600L,
+          features = Seq("turn_idx", "role", "text_len", "is_tool", "turn_ts"),
+          tieBreakCols = Seq("turn_idx"))))
+      DurableRegistry.apply(regPath,
+        views = Seq(ViewSpec("conv_quality",
+          SourceSpec("parquet", s"$dir/events.parquet",
+            transformSql = Some(convQualitySql)),
+          Seq("conv_id"), "ts", Some("created_ts"), 0L,
+          features = Seq("score"), tieBreakCols = Seq("event_id"))),
+        odfvs = Seq(OdfvSpec("qb",
+          inputs = Seq("score"),
+          outputs = Seq(OutputExpr("score_pct", "score * 100.0")),
+          sourceRefs = Seq("conv_quality:score"))))
+      DurableRegistry.loadRegistry(s, regPath).getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq("turn_stats:turn_idx", "turn_stats:text_len", "qb:score_pct"),
+        fullFeatureNames = true)
+    }),
+    // Entity dataframe as a SQL query string (reference spark.py:1558-1574
+    // uploads the query result as the entity table; here the query is just
+    // a logical plan composed into the retrieval): routes the
+    // pit_latest_turn oracle through a SQL entity frame.
+    "pit_entity_sql" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("graft_events")
+      Historical.getHistoricalFeaturesSql(s,
+        """SELECT concat('conv_', CAST(user_id AS STRING)) AS conv_id,
+          |  ts AS event_ts, value AS label FROM graft_events WHERE event_id % 7 = 0
+          |UNION ALL
+          |SELECT concat('conv_', CAST(user_id AS STRING)),
+          |  ts + INTERVAL 30 SECOND, value FROM graft_events WHERE event_id % 7 = 3
+          |UNION ALL
+          |SELECT concat('conv_', CAST(user_id + 100000 AS STRING)),
+          |  ts, value FROM graft_events WHERE event_id % 7 = 5""".stripMargin,
+        Seq(turnStatsView(s, dir, ttlSec = 4 * 3600L)))
+    }),
     // Derived-view DAG (BatchFeatureView.source_views;
     // feature_resolver.py:40-80): turns -> assistant_turns (filter+project)
     // -> conv_running (cumulative assistant-turn count), resolved by
@@ -456,15 +524,25 @@ object SparkEntry {
         e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         k = 5)
     }),
-    // Sign-LSH bucketed ANN (approximate — rows-only check; AnnSpec
-    // measures recall vs brute force).
+    // Sign-LSH bucketed ANN, checked through its recall audit: the query
+    // emits (n_queries, n_sampled, recall_ok) where recall_ok asserts the
+    // in-query recall@5 floor vs an exact subset — the counts are
+    // oracle-recomputed and the bound makes the approximate op a
+    // rows+schema+hash-checked row instead of a rows-only one (AnnSpec
+    // additionally pins the raw recall value at the defaults).
     "ann_lsh" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      sim.Ann.lshTopK(
-        e.filter(pmod(col("vec_id"), lit(50)) === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // 32 tables × 5 bits: the testdata vectors are near-random (top-5
+      // neighbor sims ≈ 0.35-0.5), where the engine defaults (8×8, tuned
+      // for near-dup sims) recall ~0.2; for ANN the extra tables are nearly
+      // free because only queries fan out. Measured recall@5 = 0.96 at
+      // sf0.001/0.01/0.1 — floor 0.8.
+      sim.Ann.lshRecall(
+        q,
         e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
-        k = 5)
+        k = 5, sampledQueries = q, recallFloor = 0.8, tables = 32, bits = 5)
     }),
     // IVF coarse-quantizer ANN with nprobe = nlist — exhaustive probing
     // makes it exact, so it shares the brute-force oracle; AnnSpec measures
@@ -494,13 +572,22 @@ object SparkEntry {
       sim.EmbeddingDedup.cosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", threshold = 0.4)),
-    // LSH-accelerated variant (approximate at this mid threshold —
-    // rows-only check; EmbeddingDedupSpec measures recall at near-dup
-    // similarity where it is ≈ 1).
+    // LSH-accelerated variant, checked through its recall audit:
+    // (n_exact_sampled, recall_ok) where n_exact_sampled is the
+    // oracle-recomputed exact pair count over the even-vec_id half and
+    // recall_ok asserts the in-query sampled-recall floor. 0.4 is a MID
+    // threshold on near-random vectors (this corpus has NO sim≥0.7 pairs;
+    // the near-dup band where the 12×8 defaults recall ≈1 is pinned in
+    // EmbeddingDedupSpec), so the query widens to 24 tables × 6 bits —
+    // still ~half the brute-force comparisons at sf0.1 with far better
+    // asymptotics. Measured recall 0.73/0.95/0.83 at sf0.001/0.01/0.1 —
+    // floor 0.6.
     "dedup_embedding_lsh" -> ((s, dir) =>
-      sim.EmbeddingDedup.cosinePairsLsh(
+      sim.EmbeddingDedup.lshRecallPairs(
         s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", threshold = 0.4)),
+        "vec_id", "embedding", threshold = 0.4,
+        sampleFilter = pmod(col("vec_id"), lit(2)) === 0,
+        recallFloor = 0.6, tables = 24, bits = 6)),
 
     // Multimodal plumbing over a binary payload column (docs text encoded
     // to bytes stands in for image blobs; decode is stubbed — see
@@ -942,6 +1029,31 @@ object SparkEntry {
          |  ON j1.conv_id = e.conv_id AND j1.event_ts = e.event_ts
          |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2
          |  ON j2.conv_id = e.conv_id AND j2.event_ts = e.event_ts""".stripMargin),
+    "registry_durable" -> withTables(
+      s""", feat AS ($turnStatsSql),
+         |j1 AS (
+         |  SELECT e.conv_id, e.event_ts, f.turn_idx, f.text_len,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN feat f ON f.conv_id = e.conv_id
+         |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR),
+         |j2 AS (
+         |  SELECT e.conv_id, e.event_ts, q.score,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN conv_quality q ON q.conv_id = e.conv_id AND q.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label,
+         |  j1.turn_idx AS turn_stats__turn_idx,
+         |  j1.text_len AS turn_stats__text_len,
+         |  j2.score * 100.0 AS qb__score_pct
+         |FROM entity e
+         |LEFT JOIN (SELECT * FROM j1 WHERE rn = 1) j1
+         |  ON j1.conv_id = e.conv_id AND j1.event_ts = e.event_ts
+         |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2
+         |  ON j2.conv_id = e.conv_id AND j2.event_ts = e.event_ts""".stripMargin),
+    "pit_entity_sql" -> pitLatestTurnOracle,
     "derived_view" -> withTables(
       s""", asst AS (SELECT conv_id, ts, turn_idx, length(text) AS text_len
          |           FROM transcript WHERE role = 'assistant'),
@@ -1286,6 +1398,22 @@ object SparkEntry {
     "ann_topk" -> annTopkOracle,
     "ann_ivf" -> annTopkOracle,
     "ann_ivf_large" -> annTopkOracle,
+    // counts data-derived; recall_ok = 1 is the in-query recall@5 bound
+    // (every query is in the exact sample, so n_sampled = n_queries)
+    "ann_lsh" -> withTables(
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(1 AS INT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+    // exact-pair count over the even-vec_id sample recomputed exactly;
+    // recall_ok = 1 is the in-query sampled-recall bound
+    "dedup_embedding_lsh" -> withTables(
+      """, e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact_sampled,
+        |  CAST(1 AS INT) AS recall_ok
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin),
     "dedup_embedding" -> withTables(
       """, e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS a, b.vec_id AS b,

@@ -1,0 +1,182 @@
+package graft.engine
+
+import graft.{FeatureService, FeatureView, OnDemandView, Projection}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Serializable definition forms for the durable registry: a registration
+  * survives the session because the *source is a descriptor* (format + path
+  * + options + optional SQL transform), not a live DataFrame, and an ODFV
+  * transform is a list of named SQL expressions, not a closure.
+  *
+  * Reference analog: feast persists applied definitions through a file/SQL
+  * registry (sdk/python/feast/infra/registry/registry.py, file.py) written
+  * by `FeatureStore.apply` (feature_store.py:1556), so later jobs retrieve
+  * by name without re-declaring views in code. The reference pickles Python
+  * transforms; the Spark-first equivalent is SQL-mode expressions — they
+  * serialize as text and run as Catalyst-compiled columns on load, so the
+  * durable path loses no performance vs the in-memory registry.
+  */
+
+/** Where a view's rows come from: `spark.read.format(format).options(...)
+  * .load(path)`, optionally through a Spark-SQL transform whose FROM
+  * references the loaded frame as `__src` (the U4 SQL-transformation mode,
+  * reference transformation/spark_transformation.py:11-120).
+  */
+case class SourceSpec(
+    format: String,
+    path: String,
+    options: Map[String, String] = Map.empty,
+    transformSql: Option[String] = None
+) {
+  def resolve(spark: SparkSession): DataFrame = {
+    val raw = spark.read.format(format).options(options).load(path)
+    transformSql match {
+      case None => raw
+      case Some(sql) =>
+        // spark.sql analyzes eagerly, binding the current `__src` plan into
+        // the returned frame — later re-registrations of `__src` (the next
+        // view's resolve) cannot retroactively change it
+        raw.createOrReplaceTempView("__src")
+        spark.sql(sql)
+    }
+  }
+}
+
+/** [[graft.FeatureView]] with the source as a [[SourceSpec]]. */
+case class ViewSpec(
+    name: String,
+    source: SourceSpec,
+    joinKeys: Seq[String],
+    tsCol: String,
+    createdTsCol: Option[String] = None,
+    ttlSeconds: Long = 0L,
+    features: Seq[String] = Nil,
+    fieldMapping: Map[String, String] = Map.empty,
+    tieBreakCols: Seq[String] = Nil,
+    datePartitionCol: Option[String] = None,
+    datePartitionFormat: String = "yyyy-MM-dd"
+) {
+  def toView(spark: SparkSession): FeatureView =
+    FeatureView(name, source.resolve(spark), joinKeys, tsCol, createdTsCol,
+      ttlSeconds, features, fieldMapping, tieBreakCols, datePartitionCol,
+      datePartitionFormat)
+}
+
+/** One appended ODFV output column: `name` = Spark SQL expression over the
+  * declared inputs/request columns.
+  */
+case class OutputExpr(name: String, sql: String)
+
+/** [[graft.OnDemandView]] with the transform as SQL expressions. */
+case class OdfvSpec(
+    name: String,
+    inputs: Seq[String],
+    outputs: Seq[OutputExpr],
+    requestCols: Seq[String] = Nil,
+    sourceRefs: Seq[String] = Nil
+) {
+  def toView: OnDemandView =
+    OnDemandView(name, inputs, requestCols, outputs.map(_.name), sourceRefs,
+      transform = df =>
+        outputs.foldLeft(df)((d, o) => d.withColumn(o.name, expr(o.sql))))
+}
+
+/** [[graft.Projection]] binding a service entry to a view by name. */
+case class ProjectionSpec(
+    viewName: String,
+    features: Seq[String] = Nil,
+    joinKeyMap: Map[String, String] = Map.empty,
+    nameAlias: Option[String] = None
+)
+
+case class ServiceSpec(name: String, projections: Seq[ProjectionSpec])
+
+/** The serialized registry: ordered definition lists (registration order is
+  * meaningful for deterministic resolution, so lists, not maps).
+  */
+case class RegistryFile(
+    version: Int = 1,
+    views: Seq[ViewSpec] = Nil,
+    odfvs: Seq[OdfvSpec] = Nil,
+    services: Seq[ServiceSpec] = Nil
+)
+
+/** File-backed registry persistence: `apply` upserts definitions into a
+  * JSON registry file (atomic replace), `load`/`loadRegistry` rebuild the
+  * definitions — metadata only, KBs; all data stays in the sources, so
+  * nothing here limits scale.
+  */
+object DurableRegistry {
+
+  private implicit val formats: org.json4s.Formats =
+    org.json4s.DefaultFormats
+
+  /** Reference `feast apply` semantics (feature_store.py:1556): merge the
+    * given definitions into the registry file by name — an existing name is
+    * replaced in place (its position kept), new names append in given
+    * order — and atomically replace the file. Returns the merged registry.
+    */
+  def apply(
+      path: String,
+      views: Seq[ViewSpec] = Nil,
+      odfvs: Seq[OdfvSpec] = Nil,
+      services: Seq[ServiceSpec] = Nil
+  ): RegistryFile = {
+    val cur = if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      load(path)
+    else RegistryFile()
+    def upsert[T](existing: Seq[T], incoming: Seq[T], nameOf: T => String): Seq[T] = {
+      val byName = incoming.map(v => nameOf(v) -> v).toMap
+      existing.map(v => byName.getOrElse(nameOf(v), v)) ++
+        incoming.filterNot(v => existing.exists(e => nameOf(e) == nameOf(v)))
+    }
+    val merged = RegistryFile(
+      views = upsert[ViewSpec](cur.views, views, _.name),
+      odfvs = upsert[OdfvSpec](cur.odfvs, odfvs, _.name),
+      services = upsert[ServiceSpec](cur.services, services, _.name))
+    save(path, merged)
+    merged
+  }
+
+  /** Atomic write: serialize to a sibling temp file, then rename over the
+    * target — a concurrent reader sees either the old or the new registry,
+    * never a torn file.
+    */
+  def save(path: String, file: RegistryFile): Unit = {
+    val json = org.json4s.jackson.Serialization.writePretty(file)
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(path: String): RegistryFile = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    org.json4s.jackson.Serialization.read[RegistryFile](json)
+  }
+
+  /** Rebuild a live [[Registry]] from the file: resolve every source
+    * descriptor lazily into its DataFrame (plans only — no data reads until
+    * a retrieval runs) and re-register views, ODFVs, and services.
+    */
+  def loadRegistry(spark: SparkSession, path: String): Registry = {
+    val file = load(path)
+    val reg = new Registry()
+    val viewByName = file.views.map(v => v.name -> v.toView(spark)).toMap
+    file.views.foreach(v => reg.register(viewByName(v.name)))
+    file.odfvs.foreach(o => reg.register(o.toView))
+    file.services.foreach { s =>
+      reg.register(FeatureService(s.name, s.projections.map { p =>
+        val v = viewByName.getOrElse(p.viewName,
+          throw new IllegalArgumentException(
+            s"service '${s.name}' references unregistered view '${p.viewName}'"))
+        Projection(v, p.features, p.joinKeyMap, p.nameAlias)
+      }))
+    }
+    reg
+  }
+}

@@ -107,6 +107,33 @@ object Historical {
     prefixed.foldLeft(entityDf)(_.join(_, keyCols, "left"))
   }
 
+  /** Entity dataframe given as a SQL query string (reference
+    * `get_historical_features(entity_df="SELECT ...")` — the Spark offline
+    * store registers the query result as the entity table,
+    * spark.py:1558-1574). Spark-first, the query IS a logical plan: no
+    * upload/temp-table step — `spark.sql` analyzes it against the session
+    * catalog (temp views, tables, catalogs) and the optimizer composes it
+    * with the retrieval end-to-end, so entity-side filters still push down.
+    */
+  def getHistoricalFeaturesSql(
+      spark: org.apache.spark.sql.SparkSession,
+      entitySql: String,
+      views: Seq[FeatureView],
+      entityTsCol: String = "event_ts",
+      fullFeatureNames: Boolean = false,
+      filterByCreatedTs: Boolean = false,
+      startDate: Option[java.sql.Timestamp] = None,
+      endDate: Option[java.sql.Timestamp] = None,
+      onDemand: Seq[OnDemandView] = Nil
+  ): DataFrame = {
+    val entityDf = spark.sql(entitySql)
+    require(entityDf.columns.contains(entityTsCol),
+      s"entity SQL must produce the entity timestamp column '$entityTsCol' " +
+        s"(got: ${entityDf.columns.mkString(",")})")
+    getHistoricalFeatures(entityDf, views, entityTsCol, fullFeatureNames,
+      filterByCreatedTs, None, startDate, endDate, onDemand)
+  }
+
   /** Typed entry point over the engine's core row types
     * (BASELINE.json:input_hint "typed Dataset/DataFrame + Catalyst"):
     * entity keys as `Dataset[EntityRow]`, transcript source as

@@ -129,13 +129,55 @@ object Ann {
     }
     val qb = withBuckets(queries, "q_id", "q_vec")
     val cb = withBuckets(corpus, "c_id", "c_vec")
-    val cand = qb.join(cb, Seq("t", "b"))
+    // score BEFORE the candidate dedup: a pair colliding in k tables is
+    // scored k times (cheap — one codegen'd dot each), but the dedup
+    // shuffle then carries (q_id, c_id, sim) instead of two dim-length
+    // vectors per row — at scale the exchange bytes dominate, not the
+    // duplicate dots. Duplicates carry identical sims, so dropDuplicates
+    // on the ids is deterministic and the result is byte-identical.
+    val scored = qb.join(cb, Seq("t", "b"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("q_vec"), col("c_id"), col("c_vec"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("sim"))
       .dropDuplicates("q_id", "c_id")
-    val scored = cand.select(col("q_id"), col("c_id"),
-      cosine(col("q_vec"), col("c_vec")).as("sim"))
     topK(scored, k)
+  }
+
+  /** Recall audit of [[lshTopK]] as one DataFrame program: LSH top-k for
+    * every query, exact top-k for the (small) `sampledQueries` subset, and
+    * a single summary row
+    * `(n_queries, n_sampled, recall_ok = avg sampled recall@k ≥ floor)` —
+    * so a correctness harness can assert a recall floor instead of a bare
+    * row count. Scale: the exact side is O(|sample|·|C|) — keep the sample
+    * a few hundred queries; the LSH side is the normal bucketed path.
+    * Counts are data-derived (an oracle recomputes them from the inputs);
+    * recall itself is deterministic given the seed but only the bound is
+    * emitted, since no independent engine can recompute LSH internals.
+    */
+  def lshRecall(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      k: Int,
+      sampledQueries: DataFrame, // (q_id, q_vec) ⊆ queries
+      recallFloor: Double,
+      tables: Int = 8,
+      bits: Int = 8,
+      dim: Int = 64,
+      seed: Long = 20260816L
+  ): DataFrame = {
+    val lsh = lshTopK(queries, corpus, k, tables, bits, dim, seed)
+      .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+    val exact = bruteForceTopK(sampledQueries, corpus, k)
+      .select(col("q_id"), col("c_id"))
+    val perQuery = exact.join(lsh, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("__recall"))
+    val summary = perQuery.agg(
+      coalesce(avg(col("__recall")), lit(1.0)).as("__avg"),
+      count(lit(1)).as("n_sampled"))
+    queries.agg(count(lit(1)).as("n_queries")).crossJoin(summary)
+      .select(col("n_queries"), col("n_sampled"),
+        (col("__avg") >= recallFloor).cast("int").as("recall_ok"))
   }
 
   /** Deterministic spherical k-means coarse quantizer: `nlist` centroids

@@ -72,12 +72,50 @@ object EmbeddingDedup {
         col("tb.t").as("t"), col("tb.b").as("b"))
     val a = bucketed.toDF("a", "__va", "__na", "t", "b")
     val b = bucketed.toDF("b_", "__vb", "__nb", "t", "b")
+    // verify BEFORE the candidate dedup: a pair colliding in k tables is
+    // scored k times (cheap codegen'd dots), but the dedup shuffle then
+    // carries (a, b, sim) instead of two dim-length vectors per candidate
+    // — exchange bytes dominate at scale. The threshold filter also runs
+    // pre-shuffle, so non-dup candidates (the vast majority) never enter
+    // the exchange at all. Duplicates carry identical sims ⇒ byte-identical
+    // result.
     a.join(b, Seq("t", "b"))
       .filter(col("a") < col("b_"))
-      .dropDuplicates("a", "b_")
       .select(col("a"), col("b_").as("b"),
         round(Ann.simExpr(Ann.dot(col("__va"), col("__vb")),
           col("__na"), col("__nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      .dropDuplicates("a", "b")
+  }
+
+  /** Recall audit of [[cosinePairsLsh]] as one DataFrame program: LSH pairs
+    * over the full corpus, exact pairs over the `sampleFilter` subset (keep
+    * the sample small — the exact side is O(|sample|²)), and one summary
+    * row `(n_exact_sampled, recall_ok = sampled recall ≥ floor)` so a
+    * correctness harness asserts a recall floor instead of a bare row
+    * count. `n_exact_sampled` is oracle-recomputable from the inputs; with
+    * zero sampled exact pairs the bound is vacuously met.
+    */
+  def lshRecallPairs(
+      df: DataFrame, // (id, vec)
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      sampleFilter: org.apache.spark.sql.Column,
+      recallFloor: Double,
+      tables: Int = 12,
+      bits: Int = 8,
+      dim: Int = 64,
+      seed: Long = 20260816L
+  ): DataFrame = {
+    val lsh = cosinePairsLsh(df, idCol, vecCol, threshold, tables, bits, dim, seed)
+      .select(col("a"), col("b"), lit(1).as("__hit"))
+    val exact = cosinePairs(df.filter(sampleFilter), idCol, vecCol, threshold)
+      .select(col("a"), col("b"))
+    exact.join(lsh, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_exact_sampled"),
+        coalesce(avg(coalesce(col("__hit"), lit(0))), lit(1.0)).as("__recall"))
+      .select(col("n_exact_sampled"),
+        (col("__recall") >= recallFloor).cast("int").as("recall_ok"))
   }
 }

@@ -71,6 +71,18 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.8, f"recall@5 = $recall%.2f too low")
   }
 
+  test("lshRecall audit: counts data-derived, bound flips with the floor") {
+    val row = Ann.lshRecall(queries, corpus, k = 5, sampledQueries = queries,
+      recallFloor = 0.8, tables = 8, bits = 8, dim = dim).head()
+    assert(row.getAs[Long]("n_queries") == queryIds.size.toLong)
+    assert(row.getAs[Long]("n_sampled") == queryIds.size.toLong)
+    assert(row.getAs[Int]("recall_ok") == 1) // clustered data: recall ≥ 0.8
+    val impossible = Ann.lshRecall(queries, corpus, k = 5,
+      sampledQueries = queries, recallFloor = 1.01, tables = 8, bits = 8,
+      dim = dim).head()
+    assert(impossible.getAs[Int]("recall_ok") == 0)
+  }
+
   test("IVF with nprobe = nlist is exactly brute force") {
     val out = Ann.ivfTopK(queries, corpus, k = 5, nlist = 8, nprobe = 8)
       .select("q_id", "c_id", "rank")

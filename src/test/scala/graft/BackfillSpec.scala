@@ -110,6 +110,42 @@ class BackfillSpec extends SparkTestBase {
     assert(!graft.sources.IcebergSource.available(spark),
       "sandbox has no iceberg-spark-runtime; if this starts passing, wire the native scan")
     assert(graft.sources.IcebergSource.currentSnapshotId(spark, "cat.db.tbl").isEmpty)
+    // the scan seam itself fails loudly (ClassNotFound through Spark's
+    // DataSource lookup), never silently returns an empty frame
+    intercept[Exception] {
+      graft.sources.IcebergSource.table(spark, "cat.db.tbl").count()
+    }
+    // option validation is runtime-independent
+    intercept[IllegalArgumentException] {
+      graft.sources.IcebergSource.table(spark, "cat.db.tbl",
+        snapshotId = Some(1L), asOfTimestampMs = Some(2L))
+    }
+  }
+
+  /** End-to-end Iceberg scan + snapshot pinning — self-activating: skipped
+    * (not silently passed) while `iceberg-spark-runtime` is off the
+    * classpath (this sandbox has no jar and zero egress — BASELINE.md
+    * documents the gap); the moment the engine meets a real Iceberg
+    * deployment this exercises IcebergSource.table + currentSnapshotId
+    * against a local Hadoop catalog with no code change.
+    */
+  test("iceberg e2e: table scan + snapshot pinning (skips without runtime)") {
+    assume(graft.sources.IcebergSource.available(spark),
+      "iceberg-spark-runtime not on classpath — explicit tested skip")
+    val warehouse = Files.createTempDirectory("graft_iceberg").toString
+    spark.conf.set("spark.sql.catalog.graft_ice", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.graft_ice.warehouse", warehouse)
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v")
+      .writeTo("graft_ice.db.t").using("iceberg").createOrReplace()
+    val snap1 = graft.sources.IcebergSource.currentSnapshotId(spark, "graft_ice.db.t")
+    assert(snap1.nonEmpty)
+    Seq((2L, "b")).toDF("id", "v").writeTo("graft_ice.db.t").append()
+    assert(graft.sources.IcebergSource.table(spark, "graft_ice.db.t").count() == 2L)
+    // time travel back to the pinned snapshot sees only the first row
+    assert(graft.sources.IcebergSource.table(spark, "graft_ice.db.t",
+      snapshotId = snap1).count() == 1L)
   }
 
   test("torn manifest is not treated as complete") {

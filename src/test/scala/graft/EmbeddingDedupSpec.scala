@@ -66,4 +66,23 @@ class EmbeddingDedupSpec extends SparkTestBase {
     assert(got.subsetOf(expect))
     assert(got.size.toDouble / expect.size >= 0.99, s"recall ${got.size}/${expect.size}")
   }
+
+  test("lshRecallPairs audit: sampled exact count + recall bound") {
+    import org.apache.spark.sql.functions._
+    val sample = pmod(col("id"), lit(2)) === 0
+    val expectSampled = oraclePairs(0.9)
+      .count { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+    val row = EmbeddingDedup.lshRecallPairs(df, "id", "vec", 0.9,
+      sampleFilter = sample, recallFloor = 0.9, dim = dim).head()
+    assert(row.getAs[Long]("n_exact_sampled") == expectSampled.toLong)
+    assert(row.getAs[Int]("recall_ok") == 1) // near-dup band: recall ≈ 1
+    val impossible = EmbeddingDedup.lshRecallPairs(df, "id", "vec", 0.9,
+      sampleFilter = sample, recallFloor = 1.01, dim = dim).head()
+    assert(impossible.getAs[Int]("recall_ok") == 0)
+    // empty sample ⇒ vacuously met, count 0 — never a crash or a NULL row
+    val empty = EmbeddingDedup.lshRecallPairs(df, "id", "vec", 0.9,
+      sampleFilter = lit(false), recallFloor = 0.9, dim = dim).head()
+    assert(empty.getAs[Long]("n_exact_sampled") == 0L &&
+      empty.getAs[Int]("recall_ok") == 1)
+  }
 }
