@@ -36,9 +36,11 @@ case class SourceSpec(
       case Some(sql) =>
         // spark.sql analyzes eagerly, binding the current `__src` plan into
         // the returned frame — later re-registrations of `__src` (the next
-        // view's resolve) cannot retroactively change it
+        // view's resolve) cannot retroactively change it, and the temp view
+        // is dropped right after analysis so nothing leaks into the session
         raw.createOrReplaceTempView("__src")
-        spark.sql(sql)
+        try spark.sql(sql)
+        finally { spark.catalog.dropTempView("__src"); () }
     }
   }
 }

@@ -28,4 +28,23 @@ object VectorFunctions {
 
   /** ‖a‖₂ via dot(a, a), codegen'd. */
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** All sign-LSH bucket ids of `vec` (element t = table t's bucket) in one
+    * codegen'd loop — generated-code size O(1) in tables × bits, where the
+    * composed per-plane `dot(...) > 0` form blows Janino's 64 KB method
+    * limit at real table counts and silently de-optimizes the whole stage
+    * to interpreted eval. `planes` as produced by `Ann.hyperplanes`:
+    * planes(t)(b) is a dim-length hyperplane.
+    */
+  def signBuckets(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column = {
+    val tables = planes.length
+    require(tables > 0, "at least one hash table required")
+    val bits = planes.head.length
+    val dim = planes.head.head.length
+    val flat = new Array[Double](tables * bits * dim)
+    for (t <- 0 until tables; b <- 0 until bits; d <- 0 until dim)
+      flat((t * bits + b) * dim + d) = planes(t)(b)(d)
+    GraftColumnBridge.column(org.apache.spark.sql.graftvec.SignBuckets(
+      GraftColumnBridge.expression(vec), flat, tables, bits, dim))
+  }
 }

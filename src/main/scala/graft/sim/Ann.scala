@@ -78,7 +78,7 @@ object Ann {
     * ±1 planes keep the dot inside integer-ish arithmetic and work as well
     * as Gaussian planes for sign-LSH.
     */
-  private[sim] def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
+  private[graft] def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
@@ -97,8 +97,12 @@ object Ann {
             (if (r.isNullAt(0)) "NULL" else r.getInt(0).toString))
       }
 
-  /** Bucket signature of `vec` in table `t`: bit b = sign(vec · plane_b). */
-  private[sim] def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Bucket signature of `vec` in one table: bit b = sign(vec · plane_b).
+    * Composed-expression reference form — production paths use the single
+    * codegen'd `VectorFunctions.signBuckets` (O(1) generated-code size in
+    * tables × bits); VectorExpressionsSpec pins their equivalence.
+    */
+  private[graft] def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
       when(dot(vec, typedLit(p)) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
@@ -119,13 +123,15 @@ object Ann {
   ): DataFrame = {
     requireDim(corpus, "c_vec", dim)
     val hp = hyperplanes(tables, bits, dim, seed)
+    // one SignBuckets expression per row (codegen size O(1) in
+    // tables × bits) instead of tables × bits composed dots, which blow the
+    // 64 KB generated-method limit at strengthened table counts and knock
+    // the stage back to interpreted eval
     def withBuckets(df: DataFrame, idC: String, vecC: String): DataFrame = {
       val v = col(vecC).cast("array<double>")
-      val bucketStructs = hp.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("t"), bucket(v, planes).as("b"))
-      }
-      df.select(col(idC), v.as(vecC), explode(array(bucketStructs: _*)).as("tb"))
-        .select(col(idC), col(vecC), col("tb.t").as("t"), col("tb.b").as("b"))
+      df.select(col(idC), v.as(vecC),
+          posexplode(graft.functions.VectorFunctions.signBuckets(v, hp))
+            .as(Seq("t", "b")))
     }
     val qb = withBuckets(queries, "q_id", "q_vec")
     val cb = withBuckets(corpus, "c_id", "c_vec")

@@ -63,13 +63,12 @@ object EmbeddingDedup {
     Ann.requireDim(df, vecCol, dim)
     val hp = Ann.hyperplanes(tables, bits, dim, seed)
     val v = col(vecCol).cast("array<double>")
-    val bucketStructs = hp.zipWithIndex.map { case (planes, t) =>
-      struct(lit(t).as("t"), Ann.bucket(v, planes).as("b"))
-    }
+    // one SignBuckets expression per row — generated-code size O(1) in
+    // tables × bits (the composed per-plane dots exceeded Janino's 64 KB
+    // method limit at 24 tables and de-optimized the stage to interpreted)
     val bucketed = df.select(col(idCol), v.as("__v"), Ann.norm(v).as("__n"),
-      explode(array(bucketStructs: _*)).as("tb"))
-      .select(col(idCol), col("__v"), col("__n"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
+      posexplode(graft.functions.VectorFunctions.signBuckets(v, hp))
+        .as(Seq("t", "b")))
     val a = bucketed.toDF("a", "__va", "__na", "t", "b")
     val b = bucketed.toDF("b_", "__vb", "__nb", "t", "b")
     // verify BEFORE the candidate dedup: a pair colliding in k tables is

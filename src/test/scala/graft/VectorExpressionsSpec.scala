@@ -56,4 +56,47 @@ class VectorExpressionsSpec extends SparkTestBase {
       plan)
     assert(df.orderBy("d").head().getDouble(0) == 8.0) // id=0: 0*3 + 2*4
   }
+
+  test("signBuckets equals the composed per-plane dot>0 form, bit for bit") {
+    val tables = 24; val bits = 6; val dim = 16
+    val hp = graft.sim.Ann.hyperplanes(tables, bits, dim, seed = 7L)
+    val rnd = new scala.util.Random(41L)
+    val rows = (0 until 300).map { i =>
+      // mix in exact zeros so the strict `> 0` sign boundary is exercised
+      (i.toLong, Array.fill(dim)(if (rnd.nextInt(10) == 0) 0.0 else rnd.nextGaussian()))
+    }.toDF("id", "v")
+    val composed = hp.zipWithIndex.map { case (planes, t) =>
+      graft.sim.Ann.bucket(col("v"), planes).as(s"t$t")
+    }
+    val out = rows.select(
+      (VectorFunctions.signBuckets(col("v"), hp).as("sb") +: composed): _*).collect()
+    out.foreach { r =>
+      val sb = r.getSeq[Long](0)
+      assert(sb.size == tables)
+      (0 until tables).foreach(t => assert(sb(t) == r.getLong(1 + t)))
+    }
+  }
+
+  test("signBuckets: dim mismatch -> all-zero buckets; NULL vec -> NULL; codegen'd") {
+    val hp = graft.sim.Ann.hyperplanes(2, 4, 3, seed = 7L)
+    val df = Seq(
+      (1L, Some(Seq(1.0, 2.0))), // wrong length (dim = 3)
+      (2L, None: Option[Seq[Double]])
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        VectorFunctions.signBuckets(col("v"), hp).as("sb"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).get.asInstanceOf[scala.collection.Seq[Long]] == Seq(0L, 0L))
+    assert(out(2L).isEmpty)
+    // whole-stage codegen holds at strengthened table counts — the reason
+    // this expression exists (the composed form fell back to interpreted)
+    val wide = graft.sim.Ann.hyperplanes(24, 6, 8, seed = 7L)
+    val plan = spark.range(4)
+      .select(VectorFunctions.signBuckets(
+        array((0 until 8).map(i => col("id").cast("double") + lit(i.toDouble)): _*),
+        wide).as("sb"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_sign_buckets") && l.trim.startsWith("*(")), plan)
+  }
 }
