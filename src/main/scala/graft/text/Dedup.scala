@@ -189,9 +189,16 @@ object Dedup {
         array((b * rows until (b + 1) * rows).map(i => col(s"__mh$i")): _*)
           .as("sig"))
     }
+    // materialized: the band bucket-join consumes `sig` on BOTH sides, and
+    // exchange reuse does not reliably fire across the self-join (audited:
+    // the signature aggregation — a full shuffle of the shingle stream —
+    // planned twice). The frame is slim (bands rows of (id, band, rows
+    // longs) per doc), so materializing once is strictly cheaper than a
+    // second signature pass at any scale.
     val sig = sigWide
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.sig").as("bandSig"))
+      .localCheckpoint()
 
     // bucket-join: docs sharing (band, bandSig) are candidates
     val l = sig.toDF("a", "band", "bandSig")
