@@ -262,7 +262,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + Json.escape(v) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(

@@ -50,12 +50,16 @@ object Tiling {
 
     // widen BEFORE squaring: int*int wraps negative at |v| > 46340
     // (non-ANSI), silently corrupting var/std downstream. Integral types
-    // widen to long (exact); fractional/decimal to double — a long cast
-    // there would TRUNCATE fractional values and skew var/std instead
+    // widen to decimal(38,0): exact, and unlike long the SUM of squares
+    // cannot realistically wrap either (two max-int squares already exceed
+    // Long.MaxValue; decimal(38) holds ~2e19 of them per tile). Fractional
+    // and long inputs go to double — a long-or-decimal cast would TRUNCATE
+    // fractional values, and long inputs exceed 2^53 only where the final
+    // double-typed var/std has lost those bits anyway.
     val widened = {
       import org.apache.spark.sql.types._
       df.schema(valueCol).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => col(valueCol).cast("long")
+        case ByteType | ShortType | IntegerType => col(valueCol).cast("decimal(38,0)")
         case _ => col(valueCol).cast("double")
       }
     }

@@ -141,16 +141,16 @@ object Backfill {
       inputFiles: Seq[String], startedAtMs: Long, durationMs: Long,
       sourceSnapshot: Option[String]): Unit = {
     val rps = if (durationMs > 0) inputRows * 1000.0 / durationMs else 0.0
-    val files = inputFiles.map(f => "\"" + f.replace("\"", "\\\"") + "\"").mkString("[", ", ", "]")
+    val files = inputFiles.map(f => "\"" + graft.Json.escape(f) + "\"").mkString("[", ", ", "]")
     // Iceberg source: the snapshot id the whole backfill run is pinned to
     // (reference analog: materialization_intervals records time ranges,
     // feature_view.py:482-490 — a snapshot id is the stronger lineage fact)
     val snapshotLine = sourceSnapshot
-      .map(s => s"""  "source_snapshot": "${s.replace("\"", "\\\"")}",\n""")
+      .map(s => s"""  "source_snapshot": "${graft.Json.escape(s)}",\n""")
       .getOrElse("")
     val json =
       s"""{
-         |  "partition": "$partition",
+         |  "partition": "${graft.Json.escape(partition)}",
          |$snapshotLine  "status": "complete",
          |  "input_rows": $inputRows,
          |  "output_rows": $outputRows,

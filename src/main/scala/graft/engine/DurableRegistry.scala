@@ -37,12 +37,22 @@ case class SourceSpec(
         // spark.sql analyzes eagerly, binding the current `__src` plan into
         // the returned frame — later re-registrations of `__src` (the next
         // view's resolve) cannot retroactively change it, and the temp view
-        // is dropped right after analysis so nothing leaks into the session
-        raw.createOrReplaceTempView("__src")
-        try spark.sql(sql)
-        finally { spark.catalog.dropTempView("__src"); () }
+        // is dropped right after analysis so nothing leaks into the session.
+        // `__src` is a RESERVED name bound session-globally for the span of
+        // the analysis, so resolves serialize under a JVM lock — without it
+        // two concurrent resolves could bind each other's source between
+        // register and analyze and silently build a view over wrong data.
+        SourceSpec.resolveLock.synchronized {
+          raw.createOrReplaceTempView("__src")
+          try spark.sql(sql)
+          finally { spark.catalog.dropTempView("__src"); () }
+        }
     }
   }
+}
+
+object SourceSpec {
+  private[engine] val resolveLock = new Object
 }
 
 /** [[graft.FeatureView]] with the source as a [[SourceSpec]]. */
@@ -118,6 +128,14 @@ object DurableRegistry {
     * given definitions into the registry file by name — an existing name is
     * replaced in place (its position kept), new names append in given
     * order — and atomically replace the file. Returns the merged registry.
+    *
+    * Concurrency: the read-merge-write is serialized under a JVM lock, so
+    * applies from one driver never lose each other's definitions. Across
+    * SEPARATE driver processes the last writer wins (the atomic rename
+    * protects readers from torn files, not writers from lost updates) —
+    * the same contract as the reference's file registry; put the registry
+    * behind a single applying job, or on a store with compare-and-swap,
+    * when multiple drivers register concurrently.
     */
   def apply(
       path: String,
@@ -125,6 +143,7 @@ object DurableRegistry {
       odfvs: Seq[OdfvSpec] = Nil,
       services: Seq[ServiceSpec] = Nil
   ): RegistryFile = {
+    applyLock.synchronized {
     val cur = if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
       load(path)
     else RegistryFile()
@@ -139,7 +158,10 @@ object DurableRegistry {
       services = upsert[ServiceSpec](cur.services, services, _.name))
     save(path, merged)
     merged
+    }
   }
+
+  private val applyLock = new Object
 
   /** Atomic write: serialize to a sibling temp file, then rename over the
     * target — a concurrent reader sees either the old or the new registry,

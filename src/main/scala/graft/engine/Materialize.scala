@@ -49,22 +49,23 @@ object Materialize {
     viewName.replaceAll("[^A-Za-z0-9._-]", "_")
   }
 
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def jsonEscape(s: String): String = graft.Json.escape(s)
 
   private def ledgerPath(dir: String, viewName: String) =
     Paths.get(dir, s"${safeFileName(viewName)}.intervals.jsonl")
 
-  /** Most recent materialized end time of `viewName`, if any. */
+  /** Most recent materialized end time of `viewName`, if any. Lines are
+    * matched on the JSON `view` field, not just the (sanitized) filename:
+    * distinct names like `a/b` and `a:b` collapse onto one ledger FILE, and
+    * resuming from another view's interval would silently skip data.
+    */
   def mostRecentEnd(intervalDir: String, viewName: String): Option[Timestamp] = {
     val p = ledgerPath(intervalDir, viewName)
     if (!Files.exists(p)) None
     else {
+      val viewPrefix = s"""{"view": "${jsonEscape(viewName)}", """
       val ends = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .filter(_.startsWith(viewPrefix))
         .flatMap("\"end\": \"([^\"]+)\"".r.findFirstMatchIn(_))
         .map(m => Timestamp.valueOf(m.group(1)))
       ends.sorted(Ordering.by((t: Timestamp) => t.getTime)).lastOption

@@ -159,6 +159,10 @@ object Ann {
     * Counts are data-derived (an oracle recomputes them from the inputs);
     * recall itself is deterministic given the seed but only the bound is
     * emitted, since no independent engine can recompute LSH internals.
+    * `n_sampled` counts sampled queries WITH an exact top-k: a degenerate
+    * sampled query (NULL/zero-norm vector — no exact neighbors exist) has
+    * no recall to measure and is excluded from both the count and the
+    * average, by construction of the exact-side join.
     */
   def lshRecall(
       queries: DataFrame, // (q_id, q_vec)

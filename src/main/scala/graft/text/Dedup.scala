@@ -164,6 +164,12 @@ object Dedup {
   /** [[minHashLshPairs]] over a pre-materialized `(id, shingle)` frame —
     * the entry point for pipelines that already hold the shingle stage
     * (curation chains, repeated-threshold sweeps).
+    *
+    * PRECONDITION: `sh` must be per-doc DISTINCT (the [[shingles]] default).
+    * Repeated (id, shingle) rows inflate the verification's intersection
+    * counts and per-doc sizes inconsistently — Jaccard values can exceed 1
+    * or wrongly cross the threshold, with no error. (MinHash itself is
+    * duplicate-insensitive; only the exact verify is not.)
     */
   def minHashLshPairsFromShingles(
       sh: DataFrame,

@@ -106,6 +106,20 @@ class BackfillSpec extends SparkTestBase {
     assert(Materialize.mostRecentEnd(dir, view.name).contains(t2))
   }
 
+  test("ledger: filename-colliding view names do not share intervals") {
+    import java.sql.Timestamp
+    import graft.engine.Materialize
+    // 'sales/eu' and 'sales:eu' both sanitize to the same ledger FILE;
+    // resume state must still be per-view (matched on the JSON view field),
+    // or a view would silently resume past data it never materialized
+    val dir = s"$tmp/intervals_collide"
+    val end = Timestamp.valueOf("2026-02-01 00:00:00")
+    Materialize.recordInterval(dir, "sales/eu",
+      Timestamp.valueOf("1970-01-01 00:00:00"), end)
+    assert(Materialize.mostRecentEnd(dir, "sales/eu").contains(end))
+    assert(Materialize.mostRecentEnd(dir, "sales:eu").isEmpty)
+  }
+
   test("iceberg runtime is absent in this sandbox and the seam reports it") {
     assert(!graft.sources.IcebergSource.available(spark),
       "sandbox has no iceberg-spark-runtime; if this starts passing, wire the native scan")
