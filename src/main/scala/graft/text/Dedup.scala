@@ -89,7 +89,13 @@ object Dedup {
     val sh = maxShingleDf match {
       case Some(cap) =>
         val freq = sh0.groupBy("shingle").count().filter(col("count") <= cap)
-        sh0.join(freq.select("shingle"), "shingle").localCheckpoint()
+        // the USING join moves the join key to column 0 — restore
+        // (id, shingle) order, which the positional toDF("a", "shingle")
+        // renames below (left swapped, a/b became shingle STRINGS and the
+        // inverted index joined on doc ids)
+        sh0.join(freq.select("shingle"), "shingle")
+          .select(col(idCol), col("shingle"))
+          .localCheckpoint()
       case None => sh0
     }
     val a = sh.toDF("a", "shingle")

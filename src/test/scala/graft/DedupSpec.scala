@@ -81,9 +81,55 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("duplicate clusters converge on a long chain (diameter >> 1)") {
-    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
-    assert(out.length == 21 && out.forall(_._2 == 0L))
+    // diameter 64 with a 20-round budget: plain min-label propagation needs
+    // ~64 rounds and would throw, so passing PROVES the pointer-doubling
+    // step compresses paths (O(log diameter) rounds)
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.duplicateClusters(chain, maxIterations = 20)
+      .as[(Long, Long)].collect()
+    assert(out.length == 65 && out.forall(_._2 == 0L))
+  }
+
+  test("maxShingleDf: jaccard is computed on the capped shingle universe") {
+    val boiler = "subscribe to our newsletter for updates every single day"
+    val d = Seq(
+      (0L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"), // identical to 0
+      (2L, s"one two three four five six seven $boiler"),
+      (3L, s"eight nine ten eleven twelve thirteen $boiler"),
+      (4L, s"fourteen fifteen sixteen seventeen eighteen nineteen $boiler")
+    ).toDF("doc_id", "text")
+    val n = 3
+    val cap = 3
+    // brute-force capped oracle: drop shingles with doc frequency > cap from
+    // EVERY doc's set, then plain jaccard on what survives
+    val texts = Seq(0, 1, 2, 3, 4).map { i =>
+      i.toLong -> d.filter(col("doc_id") === i).head().getString(1)
+        .split(" ").sliding(n).map(_.mkString(" ")).toSet
+    }.toMap
+    val docFreq = texts.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size)
+    val capped = texts.view.mapValues(_.filter(s => docFreq(s) <= cap)).toMap
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      inter = capped(a).intersect(capped(b)).size
+      if inter > 0
+      j = inter.toDouble / (capped(a).size + capped(b).size - inter)
+      if j >= 0.3
+    } yield (a, b, math.rint(j * 1e6) / 1e6)).toSet
+
+    val out = Dedup.ngramJaccardPairs(d, "doc_id", "text", n,
+        threshold = 0.3, maxShingleDf = Some(cap))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == expected, s"got $out, expected $expected")
+    // the boilerplate shingles (df=5 > cap) are gone from numerator AND
+    // denominator: the identical pair still scores 1.0, while docs sharing
+    // ONLY boilerplate produce no pair at all
+    assert(out.contains((0L, 1L, 1.0)))
+    assert(!out.exists { case (a, b, _) => Set(a, b) == Set(2L, 3L) })
+    // sanity: without the cap the boilerplate-only pairs DO cross 0.3
+    val uncapped = Dedup.ngramJaccardPairs(d, "doc_id", "text", n, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.exists { case (a, b, _) => Set(a, b) == Set(2L, 3L) })
   }
 
   test("dropNearDuplicates keeps one canonical doc per cluster + singletons") {
