@@ -220,6 +220,11 @@ object Bench {
         nSmall, nLarge, nSmall)
       val mins = scala.collection.mutable.Map[Int, Double]()
       val taskSecs = scala.collection.mutable.Map[Int, Double]()
+      // every session's (cores, wall floor, task-seconds) goes into the
+      // record: drift windows are then VISIBLE in the artifact (a bad
+      // window at one level shows up as an outlier round) instead of
+      // silently shaping a single number
+      val rounds = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
       var round = 0
       var sinceImprovement = 0
       val deadline = System.currentTimeMillis() + budgetMin * 60000L
@@ -230,6 +235,7 @@ object Bench {
             System.currentTimeMillis() < deadline))) {
         val c = order(round)
         val (t, task) = sessionMin(c, reps, job, path)
+        rounds += ((c, t, task))
         taskSecs(c) = math.min(taskSecs.getOrElse(c, Double.MaxValue), task)
         if (t < mins.getOrElse(c, Double.MaxValue)) {
           mins(c) = t; sinceImprovement = 0
@@ -245,14 +251,18 @@ object Bench {
       // 4N relative to N (≈1 ⇒ zero parallelization overhead; steal-immune
       // complement to the wall-clock efficiency on this noisy VM)
       val workRatio = taskSecs(nLarge) / taskSecs(nSmall)
+      val roundsJson = rounds.map { case (c, t, task) =>
+        f"""{"cores":$c,"sec":$t%.2f,"task_sec":$task%.1f}"""
+      }.mkString("[", ",", "]")
       s"""{"cores_n":$nSmall,"cores_4n":$nLarge,"turns":$jobTurns,""" +
         f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,""" +
         f""""turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,""" +
         f""""task_sec_n":${taskSecs(nSmall)}%.1f,"task_sec_4n":${taskSecs(nLarge)}%.1f,""" +
-        f""""work_ratio":$workRatio%.3f,"efficiency":$efficiency%.3f}"""
+        f""""work_ratio":$workRatio%.3f,"efficiency":$efficiency%.3f,""" +
+        s""""rounds":$roundsJson}"""
     }
     val scaling = floorHunt(retrieval, scalePath, turns,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "20").toLong, reps = 3)
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "25").toLong, reps = 3)
     // second block: the salted time-bucketed join path (skew machinery) on
     // the quarter-size table — evidences that the join path, not just the
     // merge path, scales N→4N with work_ratio ≈ 1
@@ -265,9 +275,15 @@ object Bench {
       "\"" + k + "\":\"" + Json.escape(v) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val record =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"sf":"$sfDir","flagship":"pit_latest_turn",""" +
-        s""""scaling":$scaling,"scaling_join":$scalingJoin}""")
+        s""""scaling":$scaling,"scaling_join":$scalingJoin}"""
+    println(record)
+    // the record also goes to a FILE: the driver captures the process log
+    // TAIL, which has truncated per-query timings out of past rounds'
+    // records — the on-disk copy is the complete, clip-proof artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), record + "\n")
   }
 }

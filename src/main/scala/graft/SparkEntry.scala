@@ -640,6 +640,31 @@ object SparkEntry {
         .withColumn("ref_value", round(col("ref_value"), 6))
         .withColumn("got_value", round(col("got_value"), 6))
     }),
+    // The same validation flow resolved THROUGH the durable registry: the
+    // reference profile is persisted next to its saved dataset
+    // (DatasetProfile.saveWithProfile), both are registered as
+    // SavedDatasetSpec + ValidationSpec in a registry FILE, and the report
+    // comes from the reloaded specs (saved_dataset.py:78,259; registry.py
+    // apply_saved_dataset / apply_validation_reference). Hash-matches the
+    // stats_profile_validate oracle exactly — the file round trip changes
+    // nothing about the numbers.
+    "registry_validation" -> ((s, dir) => {
+      import graft.engine.{DurableRegistry, SavedDatasetSpec, ValidationSpec}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft_regval").toString
+      stats.DatasetProfile.saveWithProfile(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), s"$base/ref_docs",
+        Seq("n_chars", "lang"), exact = true)
+      val regPath = s"$base/registry.json"
+      DurableRegistry.apply(regPath,
+        savedDatasets = Seq(SavedDatasetSpec("ref_docs", s"$base/ref_docs",
+          profilePath = Some(s"$base/ref_docs.profile"))),
+        validations = Seq(ValidationSpec("docs_drift", "ref_docs",
+          Seq("n_chars", "lang"), relTol = 0.05, exact = true)))
+      DurableRegistry.validateAgainst(s, regPath, "docs_drift", docs)
+        .withColumn("ref_value", round(col("ref_value"), 6))
+        .withColumn("got_value", round(col("got_value"), 6))
+    }),
     // J8: DAG-path multi-view key join — key-level feature frames joined on
     // shared join keys with view__ prefixes, then left-joined to the entity
     // universe (spark/nodes.py:399-460).
@@ -798,6 +823,41 @@ object SparkEntry {
   /** Exact cosine top-5 — shared by brute force and by IVF with
     * nprobe = nlist (exhaustive probing ⇒ exact).
     */
+  // shared by stats_profile_validate and its durable-registry variant
+  // registry_validation — the resolution path must not change the numbers
+  private val profileValidateOracle = withTables(
+    s""", refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |refp AS (
+       |  SELECT 'n_chars' AS "column", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS ref_value FROM refd
+       |  UNION ALL SELECT 'n_chars', 'n_nonnull', CAST(count(n_chars) AS DOUBLE) FROM refd
+       |  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM refd
+       |  UNION ALL SELECT 'n_chars', 'mean', avg(n_chars) FROM refd
+       |  UNION ALL SELECT 'n_chars', 'stddev', stddev_samp(n_chars) FROM refd
+       |  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM refd
+       |  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM refd
+       |  UNION ALL SELECT 'n_chars', 'p50', quantile_cont(n_chars, 0.5) FROM refd
+       |  UNION ALL SELECT 'n_chars', 'p95', quantile_cont(n_chars, 0.95) FROM refd
+       |  UNION ALL SELECT 'lang', 'n_rows', CAST(count(*) AS DOUBLE) FROM refd
+       |  UNION ALL SELECT 'lang', 'n_nonnull', CAST(count(lang) AS DOUBLE) FROM refd
+       |  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM refd),
+       |gotp AS (
+       |  SELECT 'n_chars' AS "column", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS got_value FROM documents
+       |  UNION ALL SELECT 'n_chars', 'n_nonnull', CAST(count(n_chars) AS DOUBLE) FROM documents
+       |  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM documents
+       |  UNION ALL SELECT 'n_chars', 'mean', avg(n_chars) FROM documents
+       |  UNION ALL SELECT 'n_chars', 'stddev', stddev_samp(n_chars) FROM documents
+       |  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM documents
+       |  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM documents
+       |  UNION ALL SELECT 'n_chars', 'p50', quantile_cont(n_chars, 0.5) FROM documents
+       |  UNION ALL SELECT 'n_chars', 'p95', quantile_cont(n_chars, 0.95) FROM documents
+       |  UNION ALL SELECT 'lang', 'n_rows', CAST(count(*) AS DOUBLE) FROM documents
+       |  UNION ALL SELECT 'lang', 'n_nonnull', CAST(count(lang) AS DOUBLE) FROM documents
+       |  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents)
+       |SELECT r."column", r.metric, round(r.ref_value, 6) AS ref_value,
+       |  round(g.got_value, 6) AS got_value,
+       |  abs(g.got_value - r.ref_value) <= 1e-9 + 0.05 * abs(r.ref_value) AS passed
+       |FROM refp r JOIN gotp g ON r."column" = g."column" AND r.metric = g.metric""".stripMargin)
+
   private val annTopkOracle = withTables(
     """, q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
       |       FROM embeddings WHERE vec_id % 50 = 0),
@@ -1363,38 +1423,9 @@ object SparkEntry {
         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM ttok)),
         |contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (g))
         |SELECT doc_id FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin),
-    "stats_profile_validate" -> withTables(
-      s""", refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-         |refp AS (
-         |  SELECT 'n_chars' AS "column", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS ref_value FROM refd
-         |  UNION ALL SELECT 'n_chars', 'n_nonnull', CAST(count(n_chars) AS DOUBLE) FROM refd
-         |  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM refd
-         |  UNION ALL SELECT 'n_chars', 'mean', avg(n_chars) FROM refd
-         |  UNION ALL SELECT 'n_chars', 'stddev', stddev_samp(n_chars) FROM refd
-         |  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM refd
-         |  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM refd
-         |  UNION ALL SELECT 'n_chars', 'p50', quantile_cont(n_chars, 0.5) FROM refd
-         |  UNION ALL SELECT 'n_chars', 'p95', quantile_cont(n_chars, 0.95) FROM refd
-         |  UNION ALL SELECT 'lang', 'n_rows', CAST(count(*) AS DOUBLE) FROM refd
-         |  UNION ALL SELECT 'lang', 'n_nonnull', CAST(count(lang) AS DOUBLE) FROM refd
-         |  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM refd),
-         |gotp AS (
-         |  SELECT 'n_chars' AS "column", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS got_value FROM documents
-         |  UNION ALL SELECT 'n_chars', 'n_nonnull', CAST(count(n_chars) AS DOUBLE) FROM documents
-         |  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM documents
-         |  UNION ALL SELECT 'n_chars', 'mean', avg(n_chars) FROM documents
-         |  UNION ALL SELECT 'n_chars', 'stddev', stddev_samp(n_chars) FROM documents
-         |  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM documents
-         |  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM documents
-         |  UNION ALL SELECT 'n_chars', 'p50', quantile_cont(n_chars, 0.5) FROM documents
-         |  UNION ALL SELECT 'n_chars', 'p95', quantile_cont(n_chars, 0.95) FROM documents
-         |  UNION ALL SELECT 'lang', 'n_rows', CAST(count(*) AS DOUBLE) FROM documents
-         |  UNION ALL SELECT 'lang', 'n_nonnull', CAST(count(lang) AS DOUBLE) FROM documents
-         |  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents)
-         |SELECT r."column", r.metric, round(r.ref_value, 6) AS ref_value,
-         |  round(g.got_value, 6) AS got_value,
-         |  abs(g.got_value - r.ref_value) <= 1e-9 + 0.05 * abs(r.ref_value) AS passed
-         |FROM refp r JOIN gotp g ON r."column" = g."column" AND r.metric = g.metric""".stripMargin),
+    "stats_profile_validate" -> profileValidateOracle,
+    // identical numbers through the durable-registry resolution path
+    "registry_validation" -> profileValidateOracle,
     "ann_topk" -> annTopkOracle,
     "ann_ivf" -> annTopkOracle,
     "ann_ivf_large" -> annTopkOracle,

@@ -49,17 +49,17 @@ object Tiling {
     val hopUs = hopSec * 1000000L
 
     // widen BEFORE squaring: int*int wraps negative at |v| > 46340
-    // (non-ANSI), silently corrupting var/std downstream. Integral types
-    // widen to decimal(38,0): exact, and unlike long the SUM of squares
-    // cannot realistically wrap either (two max-int squares already exceed
-    // Long.MaxValue; decimal(38) holds ~2e19 of them per tile). Fractional
-    // and long inputs go to double — a long-or-decimal cast would TRUNCATE
-    // fractional values, and long inputs exceed 2^53 only where the final
-    // double-typed var/std has lost those bits anyway.
+    // (non-ANSI), silently corrupting var/std downstream. ALL integral
+    // types widen to decimal(38,0): exact — a max-long square (~8.5e37)
+    // still fits 38 digits, whereas a double square rounds long values
+    // above 2^53/2 ≈ 9.4e7 — and the SUM of squares cannot realistically
+    // wrap either (decimal(38) holds ~2e19 max-int squares per tile).
+    // Fractional inputs go to double — a decimal cast would TRUNCATE them.
     val widened = {
       import org.apache.spark.sql.types._
       df.schema(valueCol).dataType match {
-        case ByteType | ShortType | IntegerType => col(valueCol).cast("decimal(38,0)")
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(valueCol).cast("decimal(38,0)")
         case _ => col(valueCol).cast("double")
       }
     }

@@ -104,6 +104,35 @@ case class ProjectionSpec(
 
 case class ServiceSpec(name: String, projections: Seq[ProjectionSpec])
 
+/** Durable record of a persisted retrieval (reference saved_dataset.py:78 —
+  * SavedDataset tracks name, features, join keys, storage, full-feature-name
+  * mode; registered by registry.py `apply_saved_dataset`): where the data
+  * lives plus what it contains. `profilePath` points at the stats profile
+  * written by [[graft.stats.DatasetProfile.saveWithProfile]], which makes
+  * the record usable as a validation reference.
+  */
+case class SavedDatasetSpec(
+    name: String,
+    path: String,
+    features: Seq[String] = Nil,
+    joinKeys: Seq[String] = Nil,
+    fullFeatureNames: Boolean = false,
+    profilePath: Option[String] = None
+)
+
+/** Durable validation reference (reference saved_dataset.py:259
+  * `as_reference(profiler)` + registry.py `apply_validation_reference`):
+  * validate a candidate frame against the named saved dataset's stored
+  * profile with the recorded tolerance.
+  */
+case class ValidationSpec(
+    name: String,
+    savedDatasetName: String,
+    columns: Seq[String] = Nil,
+    relTol: Double = 0.1,
+    exact: Boolean = false
+)
+
 /** The serialized registry: ordered definition lists (registration order is
   * meaningful for deterministic resolution, so lists, not maps).
   */
@@ -111,7 +140,9 @@ case class RegistryFile(
     version: Int = 1,
     views: Seq[ViewSpec] = Nil,
     odfvs: Seq[OdfvSpec] = Nil,
-    services: Seq[ServiceSpec] = Nil
+    services: Seq[ServiceSpec] = Nil,
+    savedDatasets: Seq[SavedDatasetSpec] = Nil,
+    validations: Seq[ValidationSpec] = Nil
 )
 
 /** File-backed registry persistence: `apply` upserts definitions into a
@@ -129,39 +160,79 @@ object DurableRegistry {
     * replaced in place (its position kept), new names append in given
     * order — and atomically replace the file. Returns the merged registry.
     *
-    * Concurrency: the read-merge-write is serialized under a JVM lock, so
-    * applies from one driver never lose each other's definitions. Across
-    * SEPARATE driver processes the last writer wins (the atomic rename
-    * protects readers from torn files, not writers from lost updates) —
-    * the same contract as the reference's file registry; put the registry
-    * behind a single applying job, or on a store with compare-and-swap,
-    * when multiple drivers register concurrently.
+    * Concurrency: the read-merge-write is serialized under a JVM lock
+    * (applies from one driver never lose each other's definitions) AND an
+    * OS file lock on `<path>.lock` — concurrent applies from SEPARATE
+    * driver processes queue on the lock instead of last-writer-winning,
+    * so cross-process applies are lossless too (stronger than the
+    * reference's file registry, which has no writer lock). The atomic
+    * rename in [[save]] additionally protects readers from torn files.
     */
   def apply(
       path: String,
       views: Seq[ViewSpec] = Nil,
       odfvs: Seq[OdfvSpec] = Nil,
-      services: Seq[ServiceSpec] = Nil
+      services: Seq[ServiceSpec] = Nil,
+      savedDatasets: Seq[SavedDatasetSpec] = Nil,
+      validations: Seq[ValidationSpec] = Nil
   ): RegistryFile = {
     applyLock.synchronized {
+    withFileLock(path) {
     val cur = if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
       load(path)
     else RegistryFile()
-    def upsert[T](existing: Seq[T], incoming: Seq[T], nameOf: T => String): Seq[T] = {
-      val byName = incoming.map(v => nameOf(v) -> v).toMap
-      existing.map(v => byName.getOrElse(nameOf(v), v)) ++
+    def upsert[T](existing: Seq[T], incoming0: Seq[T], nameOf: T => String): Seq[T] = {
+      // within one batch the LAST occurrence of a name wins (mirrors the
+      // semantics of repeated apply calls) — without this dedupe a name
+      // duplicated in `incoming0` would both replace in place AND append,
+      // leaving two same-name specs in the file
+      val incoming = incoming0.foldLeft(Vector.empty[T])((acc, v) =>
+        acc.filterNot(e => nameOf(e) == nameOf(v)) :+ v)
+      existing.map(v =>
+        incoming.find(i => nameOf(i) == nameOf(v)).getOrElse(v)) ++
         incoming.filterNot(v => existing.exists(e => nameOf(e) == nameOf(v)))
     }
     val merged = RegistryFile(
       views = upsert[ViewSpec](cur.views, views, _.name),
       odfvs = upsert[OdfvSpec](cur.odfvs, odfvs, _.name),
-      services = upsert[ServiceSpec](cur.services, services, _.name))
+      services = upsert[ServiceSpec](cur.services, services, _.name),
+      savedDatasets = upsert[SavedDatasetSpec](cur.savedDatasets, savedDatasets, _.name),
+      validations = upsert[ValidationSpec](cur.validations, validations, _.name))
     save(path, merged)
     merged
+    }
     }
   }
 
   private val applyLock = new Object
+
+  /** Cross-process writer lock: a blocking OS [[java.nio.channels.FileLock]]
+    * on the sibling `<name>.lock` file (never the registry file itself —
+    * locking the target would race with [[save]]'s atomic rename). Same-JVM
+    * overlap (the JDK throws instead of blocking there) retries: `apply` is
+    * already serialized by `applyLock`, so an overlap can only be an
+    * external holder, e.g. a backup tool or a test.
+    */
+  private def withFileLock[T](path: String)(body: => T): T = {
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val lockPath = target.resolveSibling(target.getFileName.toString + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var lock: java.nio.channels.FileLock = null
+      while (lock == null) {
+        try lock = ch.lock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            Thread.sleep(10)
+        }
+      }
+      try body
+      finally lock.release()
+    } finally ch.close()
+  }
 
   /** Atomic write: serialize to a sibling temp file, then rename over the
     * target — a concurrent reader sees either the old or the new registry,
@@ -182,6 +253,47 @@ object DurableRegistry {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     org.json4s.jackson.Serialization.read[RegistryFile](json)
   }
+
+  /** Load a registered saved dataset's rows (reference
+    * feature_store.py `get_saved_dataset` → storage read).
+    */
+  def loadSavedDataset(spark: SparkSession, regPath: String, name: String): DataFrame = {
+    val spec = savedDatasetSpec(load(regPath), name)
+    spark.read.parquet(spec.path)
+  }
+
+  /** Validate `candidate` against a registered validation reference: look
+    * up the [[ValidationSpec]], follow it to its saved dataset's stored
+    * profile, and run [[graft.stats.DatasetProfile.validate]] with the
+    * recorded columns/tolerance. Returns the per-(column, metric) report
+    * (reference flow: SavedDataset.as_reference → validate,
+    * saved_dataset.py:259; dqm/errors.py ValidationFailed is the throwing
+    * variant — compose with `DatasetProfile.requireValid` for that).
+    */
+  def validateAgainst(
+      spark: SparkSession,
+      regPath: String,
+      validationName: String,
+      candidate: DataFrame
+  ): DataFrame = {
+    val file = load(regPath)
+    val v = file.validations.find(_.name == validationName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no validation reference '$validationName' in registry $regPath"))
+    val ds = savedDatasetSpec(file, v.savedDatasetName)
+    val profilePath = ds.profilePath.getOrElse(
+      throw new IllegalArgumentException(
+        s"saved dataset '${ds.name}' has no stored profile — " +
+          "persist it with DatasetProfile.saveWithProfile to use it as a " +
+          "validation reference"))
+    val ref = spark.read.parquet(profilePath)
+    graft.stats.DatasetProfile.validate(candidate, ref, v.columns, v.relTol,
+      exact = v.exact)
+  }
+
+  private def savedDatasetSpec(file: RegistryFile, name: String): SavedDatasetSpec =
+    file.savedDatasets.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no saved dataset '$name' in registry"))
 
   /** Rebuild a live [[Registry]] from the file: resolve every source
     * descriptor lazily into its DataFrame (plans only — no data reads until

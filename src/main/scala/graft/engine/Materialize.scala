@@ -57,16 +57,22 @@ object Materialize {
   /** Most recent materialized end time of `viewName`, if any. Lines are
     * matched on the JSON `view` field, not just the (sanitized) filename:
     * distinct names like `a/b` and `a:b` collapse onto one ledger FILE, and
-    * resuming from another view's interval would silently skip data.
+    * resuming from another view's interval would silently skip data. The
+    * field is matched with a whitespace-tolerant regex, not an exact line
+    * prefix — a formatting tweak to [[recordInterval]] must not silently
+    * orphan all prior intervals and restart materialization from scratch
+    * (MaterializeSpec couples the reader and writer formats).
     */
   def mostRecentEnd(intervalDir: String, viewName: String): Option[Timestamp] = {
     val p = ledgerPath(intervalDir, viewName)
     if (!Files.exists(p)) None
     else {
-      val viewPrefix = s"""{"view": "${jsonEscape(viewName)}", """
+      val viewField =
+        ("\"view\"\\s*:\\s*\"" +
+          java.util.regex.Pattern.quote(jsonEscape(viewName)) + "\"").r
       val ends = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-        .filter(_.startsWith(viewPrefix))
-        .flatMap("\"end\": \"([^\"]+)\"".r.findFirstMatchIn(_))
+        .filter(viewField.findFirstIn(_).nonEmpty)
+        .flatMap("\"end\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_))
         .map(m => Timestamp.valueOf(m.group(1)))
       ends.sorted(Ordering.by((t: Timestamp) => t.getTime)).lastOption
     }

@@ -45,6 +45,7 @@ object VectorFunctions {
     for (t <- 0 until tables; b <- 0 until bits; d <- 0 until dim)
       flat((t * bits + b) * dim + d) = planes(t)(b)(d)
     GraftColumnBridge.column(org.apache.spark.sql.graftvec.SignBuckets(
-      GraftColumnBridge.expression(vec), flat, tables, bits, dim))
+      GraftColumnBridge.expression(vec),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(flat), tables, bits, dim))
   }
 }

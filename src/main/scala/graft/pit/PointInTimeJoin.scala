@@ -277,6 +277,136 @@ object PointInTimeJoin {
     }
   }
 
+  /** Fused multi-view merge path: N views sharing the SAME join keys enrich
+    * the entity frame through ONE union → ONE shuffle/sort → ONE window pass,
+    * instead of N sequential merges — which cost N full shuffles of the
+    * probe+feature stream plus, for every view after the first, a join-back
+    * (the accumulated frame is no longer slim). At cluster scale the fused
+    * plan reads every source once, shuffles once on the shared keys, and
+    * sorts once.
+    *
+    * Mechanics: each view contributes its own payload struct and order
+    * columns, null on every other view's rows and on probe rows. The global
+    * per-key sort is (visibility ts, side, view-0 ord…, view-N ord…): two
+    * rows of the SAME view order among themselves by that view's ord columns
+    * (all other views' ord columns are null on both, comparing equal), and
+    * rows of other views are invisible to view i's running
+    * `last(__payload_i, ignoreNulls)` — so each view's winner is exactly its
+    * single-view merge winner. TTL qualification stays per view.
+    *
+    * Preconditions (the caller, [[graft.engine.Historical]], falls back to
+    * the sequential fold otherwise): ≥ 2 views, identical non-empty
+    * joinKeys, no created-ts filter mode, non-Date entity timestamp.
+    */
+  def enrichMergeFused(
+      entityDf: DataFrame,
+      views: Seq[FeatureView],
+      entityTsCol: String = "event_ts",
+      fullFeatureNames: Boolean = false,
+      precomputedBounds: Option[Row] = None
+  ): DataFrame = {
+    val keys = views.head.joinKeys
+    require(keys.nonEmpty && views.forall(_.joinKeys == keys),
+      "fused merge requires identical non-empty join keys across views")
+    val bounds = precomputedBounds.getOrElse(entityBounds(entityDf, entityTsCol))
+    val prepared = views.map(v => prepare(entityDf, v, entityTsCol, Some(bounds)))
+    val probe = prepared.head._2
+    val etsType = probe.schema(entityTsCol).dataType
+    val minTs = lit("1900-01-01 00:00:00").cast("timestamp")
+
+    // per-view column descriptors: payload struct + (ord name, expr, type)
+    case class ViewCols(
+        view: FeatureView, src: DataFrame, feats: Seq[String],
+        payload: Column, payloadType: org.apache.spark.sql.types.DataType,
+        ords: Seq[(String, Column, org.apache.spark.sql.types.DataType)])
+    val infos = views.zipWithIndex.map { case (v, i) =>
+      val src = prepared(i)._1
+      val feats = v.resolvedFeatures
+      val payload = struct((feats.map(col) :+
+        col(v.tsCol).cast(etsType).as("__fts")): _*)
+      val payloadType = src.select(payload.as("p")).schema("p").dataType
+      val ords =
+        v.createdTsCol.map { c =>
+          val e = coalesce(col(c), minTs)
+          (s"__ord_${i}_cr", e, src.select(e.as("o")).schema("o").dataType)
+        }.toSeq ++
+          v.tieBreakCols.zipWithIndex.map { case (c, k) =>
+            (s"__ord_${i}_tb$k", col(c), src.schema(c).dataType)
+          }
+      ViewCols(v, src, feats, payload, payloadType, ords)
+    }
+    val allOrds = infos.zipWithIndex.flatMap { case (inf, i) =>
+      inf.ords.map { case (name, e, dt) => (name, i, e, dt) }
+    }
+
+    def sideSelect(df: DataFrame, head: Seq[Column], ownerIdx: Int): DataFrame =
+      df.select(
+        keys.map(col) ++ head ++
+          infos.zipWithIndex.map { case (inf, j) =>
+            if (j == ownerIdx) inf.payload.as(s"__payload_$j")
+            else lit(null).cast(inf.payloadType).as(s"__payload_$j")
+          } ++
+          allOrds.map { case (name, owner, e, dt) =>
+            if (owner == ownerIdx) e.as(name) else lit(null).cast(dt).as(name)
+          }: _*)
+
+    val fSides = infos.zipWithIndex.map { case (inf, i) =>
+      sideSelect(inf.src, Seq(
+        col(inf.view.tsCol).cast(etsType).as("__t"), lit(0).as("__p"),
+        lit(null).cast(etsType).as("__ets")), i)
+    }
+    val pSide = sideSelect(probe, Seq(
+      col(entityTsCol).cast(etsType).as("__t"), lit(1).as("__p"),
+      col(entityTsCol).as("__ets")), ownerIdx = -1)
+
+    val sortCols = Seq(col("__t").asc, col("__p").asc) ++
+      allOrds.map { case (name, _, _, _) => col(name).asc_nulls_first }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val slim = entityDf.columns.toSet == (keys :+ entityTsCol).toSet
+    val unioned = (fSides :+ pSide).reduce(_ unionByName _)
+    val withBests = infos.indices.foldLeft(unioned)((acc, i) =>
+      acc.withColumn(s"__best_$i",
+        last(col(s"__payload_$i"), ignoreNulls = true).over(w)))
+    val filled =
+      if (slim) withBests.filter(col("__p") === 1)
+      else {
+        // duplicate probes are adjacent under the sort (all ord columns
+        // null); mark all but the first with a lag over the same window
+        // spec — one physical sort serves every window function here
+        val wLag = Window.partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+        withBests
+          .withColumn("__dupProbe",
+            col("__p") === 1 && lag(col("__p"), 1).over(wLag) === 1 &&
+              lag(col("__t"), 1).over(wLag) === col("__t"))
+          .filter(col("__p") === 1 && !coalesce(col("__dupProbe"), lit(false)))
+      }
+    val qualified = infos.zipWithIndex.foldLeft(filled) { case (acc, (inf, i)) =>
+      if (inf.view.ttlSeconds > 0)
+        acc.withColumn(s"__best_$i",
+          when(col(s"__best_$i.__fts") >=
+            col("__ets") - expr(s"INTERVAL ${inf.view.ttlSeconds} SECONDS"),
+            col(s"__best_$i")))
+      else acc
+    }
+
+    val featCols = infos.zipWithIndex.flatMap { case (inf, i) =>
+      inf.feats.map(f =>
+        col(s"__best_$i." + f).as(outName(inf.view, f, fullFeatureNames)))
+    }
+    if (slim)
+      qualified.select(
+        entityDf.columns.toSeq.map(c =>
+          if (c == entityTsCol) col("__ets").as(entityTsCol) else col(c)) ++
+          featCols: _*)
+    else {
+      val latest = qualified.select(
+        keys.map(col) ++ Seq(col("__ets").as(entityTsCol)) ++ featCols: _*)
+      entityDf.join(latest, keys :+ entityTsCol, "left")
+    }
+  }
+
   /** The bucketed range-join path (see object doc, strategy 2). */
   def enrichJoin(
       entityDf: DataFrame,

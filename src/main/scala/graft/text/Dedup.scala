@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shared-frame materialization under the session's
+    * [[graft.CachePolicy]] (`spark.graft.cachePolicy`): eager local
+    * checkpoint by default; `memory_and_disk` / `reliable` for clusters
+    * where executor loss mid-job must be survivable.
+    */
+  private def mat(df: DataFrame): DataFrame = graft.CachePolicy.materialize(df)
+
   /** Distinct word-level n-gram shingles per document: (id, shingle).
     * Word-level (not char-level) keeps the inverted index selective —
     * char-3-grams of natural text collide on nearly every pair.
@@ -83,9 +90,9 @@ object Dedup {
       maxShingleDf: Option[Int] = None
   ): DataFrame = {
     // the shingle frame feeds both the inverted index and the per-doc
-    // sizes: materialize it once (eager local checkpoint) instead of
+    // sizes: materialize it once (policy-controlled, [[mat]]) instead of
     // re-tokenizing the corpus per consumer
-    val sh0 = shingles(df, idCol, textCol, n).localCheckpoint()
+    val sh0 = mat(shingles(df, idCol, textCol, n))
     val sh = maxShingleDf match {
       case Some(cap) =>
         val freq = sh0.groupBy("shingle").count().filter(col("count") <= cap)
@@ -93,9 +100,8 @@ object Dedup {
         // (id, shingle) order, which the positional toDF("a", "shingle")
         // renames below (left swapped, a/b became shingle STRINGS and the
         // inverted index joined on doc ids)
-        sh0.join(freq.select("shingle"), "shingle")
-          .select(col(idCol), col("shingle"))
-          .localCheckpoint()
+        mat(sh0.join(freq.select("shingle"), "shingle")
+          .select(col(idCol), col("shingle")))
       case None => sh0
     }
     val a = sh.toDF("a", "shingle")
@@ -157,13 +163,13 @@ object Dedup {
       bands: Int = 16
   ): DataFrame = {
     // The shingle frame feeds three stages (signature, per-doc sizes, exact
-    // verification): materialize it ONCE — eager local checkpoint — instead
-    // of re-tokenizing the corpus per stage. At 100 TB the redundant
-    // tokenization scans would dominate the whole dedup job. (localCheckpoint
-    // stores to executor memory/disk; on a cluster where executor loss
-    // mid-job must be survivable, swap for persist(MEMORY_AND_DISK) or a
-    // reliable checkpoint — same call shape.)
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    // verification): materialize it ONCE instead of re-tokenizing the corpus
+    // per stage — at 100 TB the redundant tokenization scans would dominate
+    // the whole dedup job. HOW the blocks survive is the session's
+    // [[graft.CachePolicy]] (default eager localCheckpoint; set
+    // spark.graft.cachePolicy=memory_and_disk or reliable on clusters where
+    // executor loss mid-job must be survivable).
+    val sh = mat(shingles(df, idCol, textCol, n))
     minHashLshPairsFromShingles(sh, idCol, threshold, numHashes, bands)
   }
 
@@ -207,10 +213,9 @@ object Dedup {
     // planned twice). The frame is slim (bands rows of (id, band, rows
     // longs) per doc), so materializing once is strictly cheaper than a
     // second signature pass at any scale.
-    val sig = sigWide
+    val sig = mat(sigWide
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.sig").as("bandSig"))
-      .localCheckpoint()
+      .select(col(idCol), col("bb.band").as("band"), col("bb.sig").as("bandSig")))
 
     // bucket-join: docs sharing (band, bandSig) are candidates
     val l = sig.toDF("a", "band", "bandSig")
@@ -268,8 +273,11 @@ object Dedup {
     * literature), so convergence is O(log diameter) — a 10⁶-long chain
     * closes in ~20 rounds. Labels only decrease and always name a node of
     * the same component, so the fixpoint is exactly the per-component min.
-    * `localCheckpoint` truncates lineage each round so the plan does not
-    * grow with iterations; convergence is a cheap changed-row count.
+    * Each round's frames materialize under the session's
+    * [[graft.CachePolicy]] (default localCheckpoint: truncates lineage so
+    * the plan does not grow with iterations; superseded rounds are released
+    * under persist-based policies); convergence is a cheap changed-row
+    * count.
     */
   def duplicateClusters(
       pairs: DataFrame,
@@ -287,18 +295,21 @@ object Dedup {
     // materialize the (possibly expensive) pair generation ONCE — the
     // union below consumes it twice, and every propagation round reads the
     // edge list again
-    val p0 = pairs
-      .select(col(aCol).cast(castType).as("src"), col(bCol).cast(castType).as("dst"))
-      .localCheckpoint()
-    val edges = p0
+    val policy = graft.CachePolicy.resolve(pairs)
+    val p0 = policy.materialize(pairs
+      .select(col(aCol).cast(castType).as("src"), col(bCol).cast(castType).as("dst")))
+    val edges = policy.materialize(p0
       .union(p0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+    policy.release(p0)
 
-    var labels = edges.groupBy("src")
+    // `labelsMat` is the frame [[CachePolicy.materialize]] returned (the
+    // one `release` must see — unpersist on a derived projection would not
+    // resolve to the cached plan); `labels` is the (src, label) view of it
+    var labelsMat = policy.materialize(edges.groupBy("src")
       .agg(min(col("dst")).as("mn"))
-      .select(col("src"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+      .select(col("src"), least(col("src"), col("mn")).as("label")))
+    var labels = labelsMat
 
     var iter = 0
     var changed = 1L
@@ -307,22 +318,24 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("src").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min(col("nl")).as("nmn"))
-      val propagated = labels.join(neighborMin, Seq("src"), "left")
+      val propagated = policy.materialize(labels.join(neighborMin, Seq("src"), "left")
         .select(col("src"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nmn"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nmn"), col("label"))).as("label")))
       // step 2: pointer doubling — label(v) <- min(label(v), label(label(v)))
       val jump = propagated.select(col("src").as("__p"), col("label").as("__pl"))
-      val next = propagated
+      val next = policy.materialize(propagated
         .join(jump, col("label") === col("__p"), "left")
         .withColumn("__new", least(col("label"), coalesce(col("__pl"), col("label"))))
         .select(col("src"), col("__new").as("label"),
-          (col("__new") < col("__old")).as("__changed"))
-        .localCheckpoint()
+          (col("__new") < col("__old")).as("__changed")))
       changed = next.filter(col("__changed")).count()
+      policy.release(labelsMat)
+      policy.release(propagated)
+      labelsMat = next
       labels = next.drop("__changed")
       iter += 1
     }
+    policy.release(edges)
     // non-convergence must be loud: partially propagated labels would keep
     // several "canonical" docs per cluster downstream with no signal.
     // (With pointer doubling this needs diameter > 2^maxIterations — in

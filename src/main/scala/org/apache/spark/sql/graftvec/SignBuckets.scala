@@ -28,10 +28,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `posexplode` then simply emits no candidate rows for it.
   *
   * `planes` is laid out `[t][b][d]` flattened: `idx = (t*bits + b)*dim + d`.
+  * It is an `IndexedSeq`, not an `Array`: case-class equality on an array is
+  * reference-based, so semantically identical instances would never compare
+  * equal and Catalyst canonicalization / common-subexpression elimination
+  * could not dedupe them.
   */
 case class SignBuckets(
     child: Expression,
-    planes: Array[Double],
+    planes: IndexedSeq[Double],
     tables: Int,
     bits: Int,
     dim: Int
@@ -40,6 +44,10 @@ case class SignBuckets(
   require(planes.length == tables * bits * dim,
     s"planes length ${planes.length} != tables*bits*dim ${tables * bits * dim}")
   require(bits > 0 && bits <= 63, s"bits must be in [1, 63], got $bits")
+
+  // the hot loops (interpreted and the codegen reference object) index a
+  // primitive array, not the boxed Seq
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -61,7 +69,7 @@ case class SignBuckets(
         var d = 0
         while (ok && d < dim) {
           if (x.isNullAt(d)) ok = false
-          else s += x.getDouble(d) * planes(base + d)
+          else s += x.getDouble(d) * planesArr(base + d)
           d += 1
         }
         if (ok && s > 0) acc |= 1L << b
@@ -75,7 +83,7 @@ case class SignBuckets(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val p = ctx.addReferenceObj("planes", planes, "double[]")
+      val p = ctx.addReferenceObj("planes", planesArr, "double[]")
       val out = ctx.freshName("out")
       val matched = ctx.freshName("matched")
       val t = ctx.freshName("t")

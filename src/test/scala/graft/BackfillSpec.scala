@@ -106,6 +106,27 @@ class BackfillSpec extends SparkTestBase {
     assert(Materialize.mostRecentEnd(dir, view.name).contains(t2))
   }
 
+  test("ledger reader tolerates format drift in the writer (field-level parse)") {
+    import java.sql.Timestamp
+    import graft.engine.Materialize
+    val dir = s"$tmp/intervals_fmt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // a compact-format line (no spaces after colons — the kind of tweak a
+    // future recordInterval refactor would make) must still parse: an
+    // exact-prefix reader would silently orphan every prior interval and
+    // restart materialization from scratch
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "fmt_view.intervals.jsonl"),
+      """{"view":"fmt_view","start":"1970-01-01 00:00:00","end":"2026-03-01 00:00:00"}""" + "\n")
+    assert(Materialize.mostRecentEnd(dir, "fmt_view")
+      .contains(Timestamp.valueOf("2026-03-01 00:00:00")))
+    // and the current writer's own format round-trips (reader/writer coupling)
+    val end2 = Timestamp.valueOf("2026-04-01 00:00:00")
+    Materialize.recordInterval(dir, "fmt_view",
+      Timestamp.valueOf("2026-03-01 00:00:00"), end2)
+    assert(Materialize.mostRecentEnd(dir, "fmt_view").contains(end2))
+  }
+
   test("ledger: filename-colliding view names do not share intervals") {
     import java.sql.Timestamp
     import graft.engine.Materialize

@@ -108,6 +108,82 @@ class DurableRegistrySpec extends SparkTestBase {
     assert(e.getMessage.contains("ghost"))
   }
 
+  test("apply blocks on an external file-lock holder; no definitions lost") {
+    val path = tmpReg()
+    val src = writeSource()
+    DurableRegistry.apply(path, views = Seq(viewSpec("v1", src)))
+    // hold the registry's writer lock from a separate lock scope (what a
+    // second driver process does); apply must WAIT, not last-writer-win
+    val lockPath = java.nio.file.Paths.get(path + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    @volatile var done = false
+    val t = new Thread(() => {
+      DurableRegistry.apply(path, views = Seq(viewSpec("v2", src)))
+      done = true
+    })
+    t.start()
+    Thread.sleep(500)
+    assert(!done, "apply must block while the lock is held externally")
+    lock.release()
+    ch.close()
+    t.join(30000)
+    assert(done, "apply must proceed once the lock is released")
+    // both applies' definitions survive the interleaving
+    assert(DurableRegistry.load(path).views.map(_.name) == Seq("v1", "v2"))
+  }
+
+  test("apply dedupes duplicate names within one batch, last wins") {
+    val path = tmpReg()
+    val src = writeSource()
+    DurableRegistry.apply(path, views = Seq(
+      viewSpec("v", src).copy(ttlSeconds = 111L),
+      viewSpec("v", src).copy(ttlSeconds = 222L)))
+    val views = DurableRegistry.load(path).views
+    assert(views.map(_.name) == Seq("v"), s"duplicate name persisted: $views")
+    assert(views.head.ttlSeconds == 222L, "last occurrence must win")
+    // and the reload is unambiguous
+    assert(DurableRegistry.loadRegistry(spark, path)
+      .featureView("v").ttlSeconds == 222L)
+  }
+
+  test("saved-dataset + validation references persist and resolve through the file") {
+    import graft.engine.{SavedDatasetSpec, ValidationSpec}
+    val path = tmpReg()
+    val base = java.nio.file.Files.createTempDirectory("graft_sdspec").toString
+    val data = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("k", "v")
+    stats.DatasetProfile.saveWithProfile(data, s"$base/sd", Seq("v"), exact = true)
+    DurableRegistry.apply(path,
+      savedDatasets = Seq(SavedDatasetSpec("sd", s"$base/sd",
+        features = Seq("v"), joinKeys = Seq("k"),
+        profilePath = Some(s"$base/sd.profile"))),
+      validations = Seq(ValidationSpec("vr", "sd", Seq("v"),
+        relTol = 0.05, exact = true)))
+    // the saved dataset reloads by name
+    assert(DurableRegistry.loadSavedDataset(spark, path, "sd")
+      .orderBy("k").collect().map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.0))
+    // identical data validates clean through the registered reference
+    val report = DurableRegistry.validateAgainst(spark, path, "vr", data)
+    assert(report.filter(!col("passed")).count() == 0)
+    // drifted data fails the mean check
+    val drifted = Seq(("a", 10.0), ("b", 20.0), ("c", 30.0)).toDF("k", "v")
+    assert(DurableRegistry.validateAgainst(spark, path, "vr", drifted)
+      .filter(!col("passed")).count() > 0)
+    // unknown names and profile-less datasets fail loudly
+    intercept[IllegalArgumentException] {
+      DurableRegistry.validateAgainst(spark, path, "ghost", data)
+    }
+    DurableRegistry.apply(path,
+      savedDatasets = Seq(SavedDatasetSpec("bare", s"$base/sd")),
+      validations = Seq(ValidationSpec("vr2", "bare")))
+    val e = intercept[IllegalArgumentException] {
+      DurableRegistry.validateAgainst(spark, path, "vr2", data)
+    }
+    assert(e.getMessage.contains("profile"))
+  }
+
   test("entity frame as SQL: getHistoricalFeaturesSql matches the DataFrame path") {
     val src = writeSource()
     val view = FeatureView("fv",

@@ -175,4 +175,55 @@ class PointInTimeJoinSpec extends SparkTestBase {
     assert(fast.collect().map(key).sorted.toSeq == general.collect().map(key).sorted.toSeq)
     assert(fast.count() == slimEnts.count())
   }
+
+  // second view for the fused-path tests: created_ts tiebreak, its own TTL
+  private def qualityView: FeatureView = {
+    val src = spark.createDataset(turns).toDF()
+      .select(col("conv_id"), col("ts"),
+        (col("turn_idx") * 1.5).as("score"),
+        when(col("turn_idx") % 3 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("ts") + expr("INTERVAL 1 HOUR") * (col("turn_idx") % 2))
+          .as("created_ts"),
+        col("turn_idx"))
+    FeatureView("quality", src, Seq("conv_id"), "ts", Some("created_ts"),
+      7200L, features = Seq("score"), tieBreakCols = Seq("turn_idx"))
+  }
+
+  test("fused multi-view merge equals the sequential per-view merges") {
+    val views = Seq(view(3600L), qualityView)
+    val rowKey = (r: org.apache.spark.sql.Row) =>
+      r.toSeq.map(String.valueOf).mkString("|")
+    // non-slim entity (label column forces the join-back), plus a duplicated
+    // probe row — multiplicity must be preserved through the single join-back
+    val entity = entityDf.union(entityDf.limit(1))
+    val fused = PointInTimeJoin.enrichMergeFused(entity, views,
+      fullFeatureNames = true)
+    val sequential = views.foldLeft(entity)((acc, v) =>
+      PointInTimeJoin.enrich(acc, v, fullFeatureNames = true))
+    assert(fused.columns.toSeq == sequential.columns.toSeq)
+    assert(fused.collect().map(rowKey).sorted.toSeq ==
+      sequential.collect().map(rowKey).sorted.toSeq)
+    assert(fused.count() == entity.count())
+    // Historical routes eligible multi-view retrievals through the fused path
+    val viaHistorical = Historical.getHistoricalFeatures(entity, views,
+      fullFeatureNames = true)
+    assert(viaHistorical.collect().map(rowKey).sorted.toSeq ==
+      sequential.collect().map(rowKey).sorted.toSeq)
+  }
+
+  test("fused multi-view merge: slim entity frame, dupes kept") {
+    val views = Seq(view(86400L), qualityView)
+    val slimEnts = (entities.map { case (c, t, _) => (c, t) } ++
+      entities.take(3).map { case (c, t, _) => (c, t) }).toDF("conv_id", "event_ts")
+    val fused = PointInTimeJoin.enrichMergeFused(slimEnts, views)
+    val sequential = views.foldLeft(slimEnts)((acc, v) =>
+      PointInTimeJoin.enrich(acc, v))
+    val rowKey = (r: org.apache.spark.sql.Row) =>
+      r.toSeq.map(String.valueOf).mkString("|")
+    assert(fused.columns.toSeq ==
+      Seq("conv_id", "event_ts", "turn_idx", "turn_ts", "score"))
+    assert(fused.collect().map(rowKey).sorted.toSeq ==
+      sequential.collect().map(rowKey).sorted.toSeq)
+    assert(fused.count() == slimEnts.count())
+  }
 }

@@ -122,4 +122,37 @@ class StreamIngestSpec extends SparkTestBase {
     assert(spark.table("sess").filter(col("conv_id") =!= "conv_flush")
       .groupBy("conv_id").count().filter(col("count") > 1).count() > 0)
   }
+
+  test("kafka connector is absent in this sandbox and the seam reports it") {
+    assert(!graft.streaming.KafkaSource.available(spark),
+      "sandbox has no spark-sql-kafka connector; if this starts passing, " +
+        "activate the connector-level spec below")
+    // the scan seam fails loudly (ClassNotFound through Spark's DataSource
+    // lookup), never silently returns an empty stream
+    intercept[Exception] {
+      graft.streaming.KafkaSource.stream(spark, "localhost:9092", "turns")
+    }
+  }
+
+  /** Connector-level spec — self-activating like the Iceberg e2e: skipped
+    * (not silently passed) while `spark-sql-kafka` is off the classpath
+    * (this sandbox has no jar, no broker, zero egress — BASELINE.md
+    * documents the dated attempt). With a connector present this verifies
+    * the scan shape and that the decode path composes over it; broker
+    * contact only happens at query start, which still needs a deployment.
+    */
+  test("kafka scan shape + decode composition (skips without connector)") {
+    assume(graft.streaming.KafkaSource.available(spark),
+      "spark-sql-kafka not on classpath — explicit tested skip")
+    val raw = graft.streaming.KafkaSource.stream(spark, "localhost:9092", "turns")
+    assert(raw.isStreaming)
+    assert(raw.columns.toSet == Set("key", "value", "topic", "partition",
+      "offset", "timestamp", "timestampType"))
+    // the reference's decode chain (spark_kafka_processor.py:96-111)
+    // analyzes over the connector frame
+    val decoded = StreamIngest.decodeJson(raw,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "conv_id STRING, turn_idx INT, ts TIMESTAMP"))
+    assert(decoded.columns.toSeq == Seq("conv_id", "turn_idx", "ts"))
+  }
 }

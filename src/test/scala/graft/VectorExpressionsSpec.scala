@@ -99,4 +99,17 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(plan.linesIterator.exists(l =>
       l.contains("graft_sign_buckets") && l.trim.startsWith("*(")), plan)
   }
+
+  test("signBuckets instances with equal planes compare equal (canonicalization)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // planes are a value-equal IndexedSeq, not a reference-equal Array:
+    // semantically identical instances must dedupe under Catalyst
+    // canonicalization / common-subexpression elimination
+    def mk() = org.apache.spark.sql.graftvec.SignBuckets(
+      Literal.create(Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      IndexedSeq(0.1, 0.2, 0.3, 0.4), tables = 2, bits = 1, dim = 2)
+    assert(mk() == mk())
+    assert(mk().semanticEquals(mk()))
+  }
 }
