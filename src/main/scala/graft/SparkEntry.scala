@@ -500,6 +500,20 @@ object SparkEntry {
         "doc_id", "text", n = 5)
         .select(col("doc_id"))
     }),
+    // Same screen through the bloom-sketch prefilter path (benchmark side
+    // carried as a ~KB sketch, not a broadcast relation — the shape for
+    // benchmark suites too large to broadcast exactly). fpp is set high
+    // (0.2) on purpose so the sketch produces real false positives at this
+    // scale and the hash check proves the exact verify join removes them:
+    // output must be byte-identical to `decontaminate`.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      text.Decontaminate.decontaminateBloom(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", n = 5, fpp = 0.2)
+        .select(col("doc_id"))
+    }),
     // North-rule invariant as an oracle-checked query: per-turn text
     // equality under stable (conv_id, turn_idx) ordering — every turn text
     // of every conversation, concatenated in turn order, must match the
@@ -825,6 +839,20 @@ object SparkEntry {
     */
   // shared by stats_profile_validate and its durable-registry variant
   // registry_validation — the resolution path must not change the numbers
+  // shared by `decontaminate` (broadcast exact set) and `decontaminate_bloom`
+  // (sketch prefilter + exact verify) — both are exact, same output
+  private val decontaminateOracle = withTables(
+    """, bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |btok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM bench),
+      |bsh AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS g
+      |        FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM btok)),
+      |ttok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
+      |tsh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+      |        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM ttok)),
+      |contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (g))
+      |SELECT doc_id FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin)
+
   private val profileValidateOracle = withTables(
     s""", refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
        |refp AS (
@@ -1412,17 +1440,10 @@ object SparkEntry {
         |        / greatest(coalesce(b.nb, 0), 1), 6) AS dup_bigram_frac,
         |  round(coalesce(b.best, 0) * 1.0 / w.nc, 6) AS top_bigram_char_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin),
-    "decontaminate" -> withTables(
-      """, bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-        |btok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM bench),
-        |bsh AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS g
-        |        FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM btok)),
-        |ttok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
-        |tsh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
-        |        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM ttok)),
-        |contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (g))
-        |SELECT doc_id FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin),
+    "decontaminate" -> decontaminateOracle,
+    // bloom path is exact by construction (no false negatives + exact
+    // verify) — same oracle, hash must match bit-for-bit
+    "decontaminate_bloom" -> decontaminateOracle,
     "stats_profile_validate" -> profileValidateOracle,
     // identical numbers through the durable-registry resolution path
     "registry_validation" -> profileValidateOracle,

@@ -52,6 +52,57 @@ object Decontaminate {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** [[contaminationOverlap]] with a broadcast *bloom sketch* prefilter
+    * instead of a broadcast of the raw benchmark shingle set — the shape for
+    * benchmark corpora too large to broadcast exactly (the sketch is ~9.6
+    * bits per distinct shingle at 1% fpp vs 64 bits + hashmap overhead for
+    * the exact broadcast side; a 100 M-shingle benchmark suite is ~120 MB
+    * of sketch vs multi-GB of broadcast hash relation).
+    *
+    * Result is byte-identical to [[contaminationOverlap]]: the bloom probe
+    * has no false negatives, so every true match survives the prefilter,
+    * and the exact verify join removes the false positives. The verify join
+    * is a *shuffle* join by design — its train side is only the bloom
+    * survivors (true matches + ~fpp of the train shingle stream), so the
+    * train corpus itself still never shuffles; only the fpp-bounded
+    * candidate set does.
+    *
+    * `expectedItems < 0` (default) sizes the sketch from an exact count of
+    * the distinct benchmark shingles (one extra pass over the *benchmark*
+    * side only — small by contract); pass an estimate to skip that pass.
+    */
+  def contaminationOverlapBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOverlap: Int = 1,
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L
+  ): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("__sh")).distinct()
+    val expected =
+      if (expectedItems >= 0) math.max(expectedItems, 1L)
+      else math.max(benchSh.count(), 1L)
+    // one distributed pass over the benchmark shingles; the merged sketch
+    // lands on the driver at sketch size (KB–MB), not set size
+    val bf = benchSh.stat.bloomFilter("__sh", expected, fpp)
+    Dedup.shingles(train, idCol, textCol, n, distinct = false)
+      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+      // map-side, codegen'd, zero-shuffle prefilter of the train stream
+      .filter(graft.functions.SketchFunctions.bloomMightContainLong(bf, col("__sh")))
+      // exact verify: false positives die here, restoring exact-path output
+      .join(benchSh, Seq("__sh"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Training corpus with contaminated documents removed (anti join against
     * [[contaminationOverlap]]).
     */
@@ -66,6 +117,25 @@ object Decontaminate {
   ): DataFrame =
     train.join(
       contaminationOverlap(train, bench, idCol, textCol, n, minOverlap, broadcastBench)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** [[decontaminate]] over the bloom-prefiltered overlap path — identical
+    * output (see [[contaminationOverlapBloom]]), benchmark side carried as a
+    * sketch instead of a broadcast relation.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minOverlap: Int = 1,
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L
+  ): DataFrame =
+    train.join(
+      contaminationOverlapBloom(train, bench, idCol, textCol, n, minOverlap, fpp, expectedItems)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 }

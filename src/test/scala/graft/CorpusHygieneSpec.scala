@@ -60,6 +60,58 @@ class CorpusHygieneSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L), "below the overlap threshold the doc survives")
   }
 
+  test("bloom path matches the exact path bit-for-bit, even when the sketch lies") {
+    // 120 docs sharing a "common suffix tail phrase words here now" 5-gram
+    // family; every 4th doc is the benchmark. fpp 0.5 + an undersized
+    // expectedItems force the sketch to emit REAL false positives — the
+    // exact verify join must remove every one of them.
+    val docs = (0L until 120L).map { i =>
+      (i, s"doc u$i v${i % 7} w${i % 3} common suffix tail phrase words here now")
+    }.toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val bench = docs.filter(col("doc_id") % 4 === 0)
+    val exact = Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    for (expected <- Seq(-1L, 2L)) { // right-sized and deliberately undersized
+      val bloom = Decontaminate.decontaminateBloom(
+          train, bench, "doc_id", "text", n = 5, fpp = 0.5, expectedItems = expected)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(bloom == exact, s"bloom(expected=$expected) diverged from exact")
+    }
+    // overlap counts (not just the kept set) also match exactly
+    val exactOv = Decontaminate.contaminationOverlap(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val bloomOv = Decontaminate.contaminationOverlapBloom(
+        train, bench, "doc_id", "text", n = 5, fpp = 0.5)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(bloomOv == exactOv)
+  }
+
+  test("bloom prefilter is a narrow map over the train scan (no pre-filter exchange)") {
+    // parquet-backed so Catalyst can't fold the corpus into a LocalTableScan
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomplan").toString
+    (0L until 50L).map(i => (i, s"w$i x$i y$i z$i common tail words here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val lines = Decontaminate.contaminationOverlapBloom(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 5, fpp = 0.01)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    // the probe must be a Filter in the plan, and between it and the train
+    // scan BELOW it there must be no Exchange: the raw train shingle stream
+    // is prefiltered map-side, in the scan's own stage — only fpp-bounded
+    // survivors ever shuffle
+    val fi = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("graft_bloom_might_contain"))
+    assert(fi >= 0, s"bloom probe is not a Filter:\n${lines.mkString("\n")}")
+    val below = lines.drop(fi + 1)
+    val si = below.indexWhere(_.contains("Scan"))
+    assert(si >= 0, s"no train scan under the bloom filter:\n${lines.mkString("\n")}")
+    assert(!below.take(si).exists(_.contains("Exchange")),
+      "a shuffle sits between the train scan and the bloom prefilter:\n" +
+        lines.mkString("\n"))
+  }
+
   test("decontamination plan broadcasts the benchmark shingle set") {
     val docs = (0L until 50L).map(i => (i, s"w${i} x${i} y${i} z${i} common tail words here")).toDF("doc_id", "text")
     val plan = Decontaminate.decontaminate(
