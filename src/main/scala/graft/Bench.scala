@@ -101,6 +101,12 @@ object Bench {
     // and can't evidence scaling
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "800000").toLong
     val scalePath = s"/tmp/graft_bench_scale_$scaleConvs"
+    // which blocks to run — the default (all three) is the driver contract;
+    // a targeted floor-hunt campaign (e.g. re-recording ONE scaling block in
+    // a calm window) selects a subset instead of paying the ~35-min sweep +
+    // other-block preamble per attempt
+    val blocks = sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOCKS", "sweep,scaling,scaling_join")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
     // ---- phase 1: headline query timings at local[cpus] (before the
     // scale-table generation so its heap/GC pressure can't inflate them).
@@ -109,42 +115,49 @@ object Bench {
     // O(n²) oracle baselines would drown the sweep); a failing query is
     // recorded as an error, never as a fast time. ----
     var spark = session(cpus)
-    force(SparkEntry.queries("pit_latest_turn")(spark, sfDir)) // warm-up
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repBudgetSec = 20.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.NaN
-      var reps = 0
-      var spent = 0.0
-      while (reps < 3 && spent <= repBudgetSec && !errors.contains(name)) {
-        try {
-          val t = timeSec(force(fn(spark, sfDir)))
-          if (best.isNaN || t < best) best = t
-          spent += t
-        } catch {
-          case e: Throwable =>
-            errors(name) = (e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+    val results = if (!blocks("sweep")) Seq.empty else {
+      force(SparkEntry.queries("pit_latest_turn")(spark, sfDir)) // warm-up
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var best = Double.NaN
+        var reps = 0
+        var spent = 0.0
+        while (reps < 3 && spent <= repBudgetSec && !errors.contains(name)) {
+          try {
+            val t = timeSec(force(fn(spark, sfDir)))
+            if (best.isNaN || t < best) best = t
+            spent += t
+          } catch {
+            case e: Throwable =>
+              errors(name) = (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+          }
+          reps += 1
         }
-        reps += 1
-      }
-      name -> best
-    }.filterNot(_._2.isNaN)
+        name -> best
+      }.filterNot(_._2.isNaN)
+    }
 
     // ---- scale-input generation (still in the sweep session). The join-
     // path block gets a quarter-size table: the bucketed join does ~4× the
     // merge path's work per turn, so this keeps both blocks' wall time
     // comparable within the bench budget. ----
-    if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
-      Transcripts.syntheticDistributed(spark, scaleConvs, turnsPerConv = 60)
-        .write.mode("overwrite").parquet(scalePath)
-    val turns = spark.read.parquet(scalePath).count()
-    val joinConvs = math.max(scaleConvs / 4, 1L)
+    val turns = if (!blocks("scaling")) 0L else {
+      if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
+        Transcripts.syntheticDistributed(spark, scaleConvs, turnsPerConv = 60)
+          .write.mode("overwrite").parquet(scalePath)
+      spark.read.parquet(scalePath).count()
+    }
+    val joinConvs = math.max(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_JOIN_CONVS", (scaleConvs / 4).toString).toLong, 1L)
     val joinScalePath = s"/tmp/graft_bench_scale_$joinConvs"
-    if (!new java.io.File(s"$joinScalePath/_SUCCESS").exists())
-      Transcripts.syntheticDistributed(spark, joinConvs, turnsPerConv = 60)
-        .write.mode("overwrite").parquet(joinScalePath)
-    val joinTurns = spark.read.parquet(joinScalePath).count()
+    val joinTurns = if (!blocks("scaling_join")) 0L else {
+      if (!new java.io.File(s"$joinScalePath/_SUCCESS").exists())
+        Transcripts.syntheticDistributed(spark, joinConvs, turnsPerConv = 60)
+          .write.mode("overwrite").parquet(joinScalePath)
+      spark.read.parquet(joinScalePath).count()
+    }
     spark.stop()
 
     // ---- phase 2: the scaling pair, each in a FRESH session (the
@@ -261,13 +274,15 @@ object Bench {
         f""""work_ratio":$workRatio%.3f,"efficiency":$efficiency%.3f,""" +
         s""""rounds":$roundsJson}"""
     }
-    val scaling = floorHunt(retrieval, scalePath, turns,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "25").toLong, reps = 3)
+    val scaling = if (!blocks("scaling")) "null" else
+      floorHunt(retrieval, scalePath, turns,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MIN", "25").toLong, reps = 3)
     // second block: the salted time-bucketed join path (skew machinery) on
     // the quarter-size table — evidences that the join path, not just the
     // merge path, scales N→4N with work_ratio ≈ 1
-    val scalingJoin = floorHunt(retrievalSaltedJoin, joinScalePath, joinTurns,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_JOIN_BUDGET_MIN", "12").toLong, reps = 2)
+    val scalingJoin = if (!blocks("scaling_join")) "null" else
+      floorHunt(retrievalSaltedJoin, joinScalePath, joinTurns,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_JOIN_BUDGET_MIN", "12").toLong, reps = 2)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
