@@ -242,6 +242,33 @@ object SparkEntry {
         Seq("turn_stats:turn_idx", "turn_stats:text_len", "qb:score_pct"),
         fullFeatureNames = true)
     }),
+    // Durable named entities (reference entity.py:30; registry.py
+    // apply_entity/get_entity): entities registered as first-class registry
+    // objects across two apply calls (the second REPLACES `document` in
+    // place — upsert), then looked up by name from the reloaded file; each
+    // reloaded spec's joinKey drives which column is key-counted, so a
+    // broken round trip (lost description, stale valueType, wrong joinKey)
+    // changes the hashed output.
+    "registry_entities" -> ((s, dir) => {
+      import graft.engine.{DurableRegistry, EntitySpec}
+      val regPath = java.nio.file.Files
+        .createTempDirectory("graft_reg_ent").toString + "/registry.json"
+      DurableRegistry.apply(regPath, entities = Seq(
+        EntitySpec("conversation", "conv_id", "string",
+          "one multi-turn conversation"),
+        EntitySpec("document", "doc_id", "int", "placeholder")))
+      DurableRegistry.apply(regPath, entities = Seq(
+        EntitySpec("document", "doc_id", "bigint", "one corpus document")))
+      val conv = DurableRegistry.entity(regPath, "conversation")
+      val doc = DurableRegistry.entity(regPath, "document")
+      def catalogRow(e: EntitySpec, table: DataFrame): DataFrame =
+        table.agg(countDistinct(col(e.joinKey)).as("n_keys"))
+          .select(lit(e.name).as("entity_name"), lit(e.joinKey).as("join_key"),
+            lit(e.valueType).as("value_type"),
+            lit(e.description).as("description"), col("n_keys"))
+      catalogRow(conv, Transcripts.fromEvents(s, dir))
+        .unionAll(catalogRow(doc, s.read.parquet(s"$dir/documents.parquet")))
+    }),
     // Entity dataframe as a SQL query string (reference spark.py:1558-1574
     // uploads the query result as the entity table; here the query is just
     // a logical plan composed into the retrieval): routes the
@@ -1117,6 +1144,13 @@ object SparkEntry {
          |  ON j1.conv_id = e.conv_id AND j1.event_ts = e.event_ts
          |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2
          |  ON j2.conv_id = e.conv_id AND j2.event_ts = e.event_ts""".stripMargin),
+    "registry_entities" -> withTables(
+      """SELECT 'conversation' AS entity_name, 'conv_id' AS join_key,
+        |  'string' AS value_type, 'one multi-turn conversation' AS description,
+        |  count(DISTINCT conv_id) AS n_keys FROM transcript
+        |UNION ALL
+        |SELECT 'document', 'doc_id', 'bigint', 'one corpus document',
+        |  count(DISTINCT doc_id) FROM documents""".stripMargin),
     "registry_durable" -> withTables(
       s""", feat AS ($turnStatsSql),
          |j1 AS (
@@ -1438,7 +1472,7 @@ object SparkEntry {
         |  round((w.nw - w.nwd) * 1.0 / w.nw, 6) AS dup_word_frac,
         |  round((coalesce(b.nb, 0) - coalesce(b.nbd, 0)) * 1.0
         |        / greatest(coalesce(b.nb, 0), 1), 6) AS dup_bigram_frac,
-        |  round(coalesce(b.best, 0) * 1.0 / w.nc, 6) AS top_bigram_char_frac
+        |  round(coalesce(b.best, 0) * 1.0 / greatest(w.nc, 1), 6) AS top_bigram_char_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin),
     "decontaminate" -> decontaminateOracle,
     // bloom path is exact by construction (no false negatives + exact

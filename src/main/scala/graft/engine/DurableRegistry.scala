@@ -104,6 +104,21 @@ case class ProjectionSpec(
 
 case class ServiceSpec(name: String, projections: Seq[ProjectionSpec])
 
+/** Durable named entity (reference entity.py:30 — Entity carries name,
+  * join_key, value_type, description and is a first-class registry object
+  * applied via registry.py `apply_entity`): the declared identity a view's
+  * join keys bind to. Registration is metadata — views keep declaring their
+  * `joinKeys` directly (back-compatible), but a registered entity lets
+  * tooling resolve "which column identifies a conversation" by name and
+  * validates that services join on declared identities.
+  */
+case class EntitySpec(
+    name: String,
+    joinKey: String,
+    valueType: String = "string",
+    description: String = ""
+)
+
 /** Durable record of a persisted retrieval (reference saved_dataset.py:78 —
   * SavedDataset tracks name, features, join keys, storage, full-feature-name
   * mode; registered by registry.py `apply_saved_dataset`): where the data
@@ -142,7 +157,8 @@ case class RegistryFile(
     odfvs: Seq[OdfvSpec] = Nil,
     services: Seq[ServiceSpec] = Nil,
     savedDatasets: Seq[SavedDatasetSpec] = Nil,
-    validations: Seq[ValidationSpec] = Nil
+    validations: Seq[ValidationSpec] = Nil,
+    entities: Seq[EntitySpec] = Nil
 )
 
 /** File-backed registry persistence: `apply` upserts definitions into a
@@ -174,7 +190,8 @@ object DurableRegistry {
       odfvs: Seq[OdfvSpec] = Nil,
       services: Seq[ServiceSpec] = Nil,
       savedDatasets: Seq[SavedDatasetSpec] = Nil,
-      validations: Seq[ValidationSpec] = Nil
+      validations: Seq[ValidationSpec] = Nil,
+      entities: Seq[EntitySpec] = Nil
   ): RegistryFile = {
     applyLock.synchronized {
     withFileLock(path) {
@@ -197,7 +214,8 @@ object DurableRegistry {
       odfvs = upsert[OdfvSpec](cur.odfvs, odfvs, _.name),
       services = upsert[ServiceSpec](cur.services, services, _.name),
       savedDatasets = upsert[SavedDatasetSpec](cur.savedDatasets, savedDatasets, _.name),
-      validations = upsert[ValidationSpec](cur.validations, validations, _.name))
+      validations = upsert[ValidationSpec](cur.validations, validations, _.name),
+      entities = upsert[EntitySpec](cur.entities, entities, _.name))
     save(path, merged)
     merged
     }
@@ -253,6 +271,16 @@ object DurableRegistry {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     org.json4s.jackson.Serialization.read[RegistryFile](json)
   }
+
+  /** Look up a registered entity by name (reference feature_store.py
+    * `get_entity` → registry.py `get_entity`): the durable answer to
+    * "which column identifies this entity" for tooling and entity-frame
+    * construction.
+    */
+  def entity(regPath: String, name: String): EntitySpec =
+    load(regPath).entities.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no entity '$name' in registry $regPath"))
 
   /** Load a registered saved dataset's rows (reference
     * feature_store.py `get_saved_dataset` → storage read).

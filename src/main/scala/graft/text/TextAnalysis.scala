@@ -109,45 +109,34 @@ object TextAnalysis {
     *   - `top_bigram_char_frac` — characters covered by the most repeated
     *     2-gram (count × gram length) over total characters.
     *
-    * Zero-shuffle: every metric is an array program over the tokenized
-    * text (array_distinct sizes; the top-gram mass via a fold over the
-    * SORTED gram array, where a gram's sorted-adjacency run length is its
-    * occurrence count) — a narrow map that scales embarrassingly. The
+    * Zero-shuffle: all counting runs in ONE codegen'd pass per document
+    * ([[org.apache.spark.sql.graftvec.RepetitionCounts]] — single
+    * tokenization, hash-map distinctness, no array sorts or per-element
+    * interpreted lambdas), a narrow map that scales embarrassingly. The
     * explode-and-groupBy formulation would shuffle every gram of a 100 TB
-    * corpus twice for the same answer.
+    * corpus twice for the same answer; the previous higher-order-function
+    * array program kept the zero-shuffle shape but allocated five array
+    * copies + an O(n log n) string sort per document. The fractions stay
+    * declarative Catalyst arithmetic so division/rounding semantics are
+    * digit-identical to the array formulation (oracle hashes unchanged).
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val nW = size(ws)
-    val bigrams = when(nW >= 2,
-      transform(sequence(lit(0), nW - 2),
-        i => array_join(slice(ws, i + 1, lit(2)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val nB = size(bigrams)
-    // max over grams of count(gram) * length(gram), via one pass over the
-    // sorted array: state (prev gram, current run, best closed mass)
-    val bestMass = aggregate(
-      array_sort(bigrams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (st, x) => {
-        val same = st.getField("prev") === x
-        val closed = st.getField("run") * length(st.getField("prev")).cast("long")
-        struct(
-          x.as("prev"),
-          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-          when(same, st.getField("best"))
-            .otherwise(greatest(st.getField("best"), closed)).as("best"))
-      },
-      st => greatest(st.getField("best"),
-        st.getField("run") * length(st.getField("prev")).cast("long")))
+    import org.apache.spark.sql.GraftColumnBridge
+    val c = GraftColumnBridge.column(
+      org.apache.spark.sql.graftvec.RepetitionCounts(
+        GraftColumnBridge.expression(col(textCol))))
+    val nW = c.getField("n_words")
+    val nB = c.getField("n_bigrams")
     df.select(
       col(idCol),
       nW.as("n_words"),
-      round((nW - size(array_distinct(ws))) / nW.cast("double"), 6)
+      round((nW - c.getField("n_words_distinct")) / nW.cast("double"), 6)
         .as("dup_word_frac"),
-      round((nB - size(array_distinct(bigrams))) / greatest(nB, lit(1)).cast("double"), 6)
+      round((nB - c.getField("n_bigrams_distinct"))
+          / greatest(nB, lit(1L)).cast("double"), 6)
         .as("dup_bigram_frac"),
-      round(bestMass / length(col(textCol)).cast("double"), 6)
+      round(c.getField("best_mass")
+          / greatest(length(col(textCol)), lit(1)).cast("double"), 6)
         .as("top_bigram_char_frac"))
   }
 

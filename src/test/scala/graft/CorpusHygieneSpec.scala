@@ -36,6 +36,63 @@ class CorpusHygieneSpec extends SparkTestBase {
     assert(out == ((1L, 1, 0.0, 0.0, 0.0)))
   }
 
+  test("repetitionSignals: native kernel matches the array-program model") {
+    // independent model = the pre-native higher-order-function formulation
+    // (split → bigram transform → array_sort fold); the native kernel must
+    // be digit-identical on every edge case and on random text
+    def model(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val ws = split(col("text"), " ")
+      val nW = size(ws)
+      val bigrams = when(nW >= 2,
+        transform(sequence(lit(0), nW - 2),
+          i => array_join(slice(ws, i + 1, lit(2)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val nB = size(bigrams)
+      val bestMass = aggregate(
+        array_sort(bigrams),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, x) => {
+          val same = st.getField("prev") === x
+          val closed = st.getField("run") * length(st.getField("prev")).cast("long")
+          struct(
+            x.as("prev"),
+            when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+            when(same, st.getField("best"))
+              .otherwise(greatest(st.getField("best"), closed)).as("best"))
+        },
+        st => greatest(st.getField("best"),
+          st.getField("run") * length(st.getField("prev")).cast("long")))
+      df.select(col("doc_id"), nW.as("n_words"),
+        round((nW - size(array_distinct(ws))) / nW.cast("double"), 6)
+          .as("dup_word_frac"),
+        round((nB - size(array_distinct(bigrams))) / greatest(nB, lit(1)).cast("double"), 6)
+          .as("dup_bigram_frac"),
+        round(bestMass / greatest(length(col("text")), lit(1)).cast("double"), 6)
+          .as("top_bigram_char_frac"))
+    }
+    val edge = Seq(
+      "",                    // split("") = [""] — one empty word
+      " ",                   // two empty words, bigram " "
+      "a ", " a", "a  b",    // leading/trailing/double separators keep empties
+      "solo",
+      "é ü é ü é",           // multibyte chars
+      "😀 x 😀 x", // emoji: char length ≠ code points
+      "tab\tand\nnewline stay one word",
+      "a b a b a b a")
+    val rnd = new scala.util.Random(42)
+    val fuzz = (0 until 200).map { _ =>
+      (0 until (1 + rnd.nextInt(40)))
+        .map(_ => Seq("a", "bb", "ccc", "é", "😀", "")(rnd.nextInt(6)))
+        .mkString(" ")
+    }
+    val docs = (edge ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fast = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val ref = model(docs).orderBy("doc_id").collect().toSeq
+    assert(fast == ref)
+  }
+
   test("decontaminate drops exactly the overlapping train docs") {
     val bench = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("doc_id", "text")
     val train = Seq(

@@ -149,6 +149,31 @@ class DurableRegistrySpec extends SparkTestBase {
       .featureView("v").ttlSeconds == 222L)
   }
 
+  test("entities persist, upsert in place, and resolve by name") {
+    import graft.engine.EntitySpec
+    val path = tmpReg()
+    DurableRegistry.apply(path, entities = Seq(
+      EntitySpec("conversation", "conv_id", "string", "a conversation"),
+      EntitySpec("document", "doc_id", "int", "placeholder")))
+    // second apply replaces `document` in place and appends nothing
+    DurableRegistry.apply(path, entities = Seq(
+      EntitySpec("document", "doc_id", "bigint", "one corpus document")))
+    val ents = DurableRegistry.load(path).entities
+    assert(ents.map(_.name) == Seq("conversation", "document"))
+    assert(DurableRegistry.entity(path, "document") ==
+      EntitySpec("document", "doc_id", "bigint", "one corpus document"))
+    assert(DurableRegistry.entity(path, "conversation").joinKey == "conv_id")
+    val miss = intercept[IllegalArgumentException](
+      DurableRegistry.entity(path, "nope"))
+    assert(miss.getMessage.contains("no entity 'nope'"))
+    // a pre-entity registry file (no `entities` field) still loads
+    val legacy = tmpReg()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(legacy),
+      """{"version":1,"views":[],"odfvs":[],"services":[],
+        |"savedDatasets":[],"validations":[]}""".stripMargin)
+    assert(DurableRegistry.load(legacy).entities.isEmpty)
+  }
+
   test("saved-dataset + validation references persist and resolve through the file") {
     import graft.engine.{SavedDatasetSpec, ValidationSpec}
     val path = tmpReg()
