@@ -9,10 +9,16 @@ object ExplainScale {
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("AQE", "true"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("MPB", "134217728"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("PFIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("ADVISORY", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val path = "/tmp/graft_bench_scale_800000"
+    val path = sys.env.getOrElse("SCALE_PATH", "/tmp/graft_bench_scale_800000")
     val t = spark.read.parquet(path)
     val entity = t.filter(pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(10)) === 0)
       .select(col("conv_id"), (col("ts") + expr("INTERVAL 30 SECONDS")).as("event_ts"))
@@ -22,7 +28,11 @@ object ExplainScale {
       Seq("conv_id"), "ts", None, ttlSeconds = 4 * 3600L,
       features = Seq("turn_idx", "role", "text_len"),
       tieBreakCols = Seq("turn_idx"))
-    val df = engine.Historical.getHistoricalFeatures(entity, Seq(view))
+    val df = sys.env.getOrElse("JOB", "merge") match {
+      case "join" => pit.PointInTimeJoin.enrich(entity, view,
+        saltBuckets = 8, hotKeyRowThreshold = 1000L)
+      case _ => engine.Historical.getHistoricalFeatures(entity, Seq(view))
+    }
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
