@@ -107,6 +107,12 @@ object Bench {
     // other-block preamble per attempt
     val blocks = sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOCKS", "sweep,scaling,scaling_join")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // fail fast on typos: a misspelled block name would silently skip the
+    // block and waste an entire bench window before anyone notices
+    val knownBlocks = Set("sweep", "scaling", "scaling_join")
+    require((blocks -- knownBlocks).isEmpty,
+      s"unknown SPARK_GRAFT_BENCH_BLOCKS: ${(blocks -- knownBlocks).mkString(",")}; " +
+        s"known: ${knownBlocks.mkString(",")}")
 
     // ---- phase 1: headline query timings at local[cpus] (before the
     // scale-table generation so its heap/GC pressure can't inflate them).
@@ -311,11 +317,19 @@ object Bench {
       val effRe = """"efficiency":([0-9.]+)""".r
       def effOf(s: String): Double =
         effRe.findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(-1.0)
+      // efficiencies are only comparable on the same workload: a targeted
+      // hunt at a non-default input size or core pair (the knobs exist for
+      // exactly that) must not overwrite the canonical record with a number
+      // measured on an incomparable configuration
+      def configOf(s: String): String =
+        Seq(""""cores_n":\d+""", """"cores_4n":\d+""", """"turns":\d+""")
+          .flatMap(re => re.r.findFirstIn(s)).mkString(",")
       val p = java.nio.file.Paths.get(bestFile)
       val prior =
         if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
         else ""
-      if (fresh != "null" && effOf(fresh) > effOf(prior)) {
+      if (fresh != "null" && effOf(fresh) > effOf(prior) &&
+        (prior.isEmpty || configOf(fresh) == configOf(prior))) {
         val stamped = fresh.dropRight(1) +
           s""","recorded_at":"${java.time.Instant.now()}"}"""
         java.nio.file.Files.writeString(p, stamped + "\n")

@@ -52,8 +52,13 @@ object Tiling {
     // (non-ANSI), silently corrupting var/std downstream. ALL integral
     // types widen to decimal(38,0): exact — a max-long square (~8.5e37)
     // still fits 38 digits, whereas a double square rounds long values
-    // above 2^53/2 ≈ 9.4e7 — and the SUM of squares cannot realistically
-    // wrap either (decimal(38) holds ~2e19 max-int squares per tile).
+    // above 2^53/2 ≈ 9.4e7. A SUM of near-max-long squares CAN exceed
+    // 38 digits, though (two max-long squares already do; epoch-micro
+    // squares after ~4e7 rows per key) — non-ANSI decimal overflow yields
+    // NULL, and a null tile IR would then be silently DROPPED by the
+    // downstream sum()s, corrupting var/std. So overflow fails LOUDLY
+    // instead (guards below): the fix for hash-scale values is shifting
+    // or pre-scaling the value column, never a silent wrong answer.
     // Fractional inputs go to double — a decimal cast would TRUNCATE them.
     val widened = {
       import org.apache.spark.sql.types._
@@ -63,16 +68,27 @@ object Tiling {
         case _ => col(valueCol).cast("double")
       }
     }
+    val overflowMsg = s"tiled sum of squares of '$valueCol' overflowed " +
+      "decimal(38,0); shift or pre-scale the value column"
 
-    // 1. per-(keys, hop) IR tiles (orchestrator.py:18-90)
+    // 1. per-(keys, hop) IR tiles (orchestrator.py:18-90).
+    // Tile-level overflow guard: __c > 0 with a null __ss can only be
+    // decimal-sum overflow (values contributing to __c are non-null) —
+    // raise instead of letting the null tile vanish from cumulative sums.
     val tiles = df
       .withColumn("__hop", floor(unix_micros(col(tsCol).cast("timestamp")) / hopUs))
       .groupBy(k :+ col("__hop"): _*)
       .agg(
         sum(col(valueCol)).as("__s"),
         count(col(valueCol)).as("__c"),
-        sum(widened * widened).as("__ss"),
+        sum(widened * widened).as("__ss0"),
         max(col(valueCol)).as("__mx"))
+      .withColumn("__ss",
+        when(col("__c") > 0 && col("__ss0").isNull,
+          raise_error(lit(overflowMsg)).cast(df.select(sum(widened * widened)
+            .as("s")).schema("s").dataType))
+          .otherwise(col("__ss0")))
+      .drop("__ss0")
 
     // 2.+3. sparse breakpoint stream instead of a dense grid join.
     //
@@ -138,9 +154,16 @@ object Tiling {
     val cW = col("__cw")
     val ssW = col("__ssw")
     // double-first multiply (same order as the oracle's CAST AS DOUBLE):
-    // long·long would overflow on large windowed sums
+    // long·long would overflow on large windowed sums.
+    // Cumulative-level overflow guard: tile IRs are non-null (guarded
+    // above), so a null __ssw with cW > 1 means the RUNNING decimal sum
+    // overflowed — assert_true raises then (and passes as a no-op null
+    // folded in via coalesce, keeping the expression inside codegen).
+    val ssGuard = coalesce(
+      assert_true(cW <= 1 || ssW.isNotNull, lit(overflowMsg)).cast("double"),
+      lit(0.0))
     val varW = when(cW > 1,
-      (ssW.cast("double") - sW.cast("double") * sW / cW) / (cW - 1))
+      (ssW.cast("double") - sW.cast("double") * sW / cW) / (cW - 1) + ssGuard)
       .otherwise(lit(null).cast("double"))
     dense.select(
       (k :+ (col("__hop") * hopSec).as("hop_start")) ++ Seq(

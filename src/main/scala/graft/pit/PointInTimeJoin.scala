@@ -308,6 +308,15 @@ object PointInTimeJoin {
     val keys = views.head.joinKeys
     require(keys.nonEmpty && views.forall(_.joinKeys == keys),
       "fused merge requires identical non-empty join keys across views")
+    // Enforce the documented precondition, don't just document it: a
+    // DateType entity ts would cast every feature ts down to midnight here
+    // (no per-view promotion in the fused axis) and leak same-day future
+    // rows — the single-view path promotes instead (enrichMerge), so a
+    // direct caller must go through Historical's fallback for Date frames.
+    require(entityDf.schema(entityTsCol).dataType !=
+      org.apache.spark.sql.types.DateType,
+      "fused merge requires a non-Date entity timestamp; " +
+        "use the sequential enrich path for DateType entity frames")
     val bounds = precomputedBounds.getOrElse(entityBounds(entityDf, entityTsCol))
     val prepared = views.map(v => prepare(entityDf, v, entityTsCol, Some(bounds)))
     val probe = prepared.head._2

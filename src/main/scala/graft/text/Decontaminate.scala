@@ -83,8 +83,13 @@ object Decontaminate {
   ): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
-      .select(xxhash64(col("shingle")).as("__sh")).distinct()
+    // materialize the distinct benchmark shingle set ONCE: it feeds up to
+    // three consumers (the sizing count, the bloom build, and the verify
+    // join) — without this each re-runs the tokenize + distinct shuffle
+    // over the benchmark corpus
+    val benchSh = graft.CachePolicy.materialize(
+      Dedup.shingles(bench, idCol, textCol, n)
+        .select(xxhash64(col("shingle")).as("__sh")).distinct())
     val expected =
       if (expectedItems >= 0) math.max(expectedItems, 1L)
       else math.max(benchSh.count(), 1L)

@@ -111,6 +111,54 @@ class FeaturesSpec extends SparkTestBase {
     assert(math.abs(out._2 - math.sqrt(2.0)) < 1e-9)
   }
 
+  test("tiling sum-of-squares overflow fails loudly instead of nulling var") {
+    import java.sql.Timestamp
+    // sign-mixed near-max-long values in one tile: the raw long sum stays
+    // tiny but each square (~8.5e37) fits decimal(38,0) while their SUM
+    // does not. Under ANSI (session default) the decimal sum throws on its
+    // own; under NON-ANSI it yields a NULL tile IR that downstream sum()s
+    // would silently DROP, corrupting var/std — the guard must raise there.
+    val big = 9200000000000000000L
+    val df = Seq(
+      ("c", Timestamp.valueOf("2026-01-01 00:00:10"), big),
+      ("c", Timestamp.valueOf("2026-01-01 00:01:00"), -big)
+    ).toDF("conv_id", "ts", "v")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val e = intercept[Exception] {
+        graft.agg.Tiling.tiledAggregate(df, Seq("conv_id"), "ts", "v",
+          hopSec = 300L, windowSec = 600L).collect()
+      }
+      assert(messages(e).exists(_.contains("overflowed decimal(38,0)")),
+        s"expected loud overflow, got: ${messages(e).mkString(" | ")}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+    // ANSI mode must also fail loudly (natively), never emit a null IR
+    val eAnsi = intercept[Exception] {
+      graft.agg.Tiling.tiledAggregate(df, Seq("conv_id"), "ts", "v",
+        hopSec = 300L, windowSec = 600L).collect()
+    }
+    assert(messages(eAnsi).exists(m =>
+      m.contains("overflowed decimal(38,0)") || m.toLowerCase.contains("overflow") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected loud ANSI overflow, got: ${messages(eAnsi).mkString(" | ")}")
+    // and beyond-int-range longs below the overflow point still compute a
+    // correct var — for a spread the final double stage can resolve
+    // (var_w's last subtraction is double by contract, same as the
+    // oracle's CAST AS DOUBLE; spreads below Σv²·2⁻⁵² cancel there)
+    val ok = Seq(
+      ("c", Timestamp.valueOf("2026-01-01 00:00:10"), 3000000000L),
+      ("c", Timestamp.valueOf("2026-01-01 00:01:00"), 3000100000L)
+    ).toDF("conv_id", "ts", "v")
+    val v = graft.agg.Tiling.tiledAggregate(ok, Seq("conv_id"), "ts", "v",
+        hopSec = 300L, windowSec = 600L)
+      .filter(col("count_w") === 2).select("var_w").as[Double].head()
+    // var_samp of two values d apart = d²/2 = 5e9
+    assert(math.abs(v - 5.0e9) < 1e5, s"var_w $v")
+  }
+
   test("unsupported aggregation function is rejected") {
     intercept[IllegalArgumentException] {
       Aggregations.aggColumn(Aggregation("x", "median"))

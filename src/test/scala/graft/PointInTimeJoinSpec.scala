@@ -211,6 +211,19 @@ class PointInTimeJoinSpec extends SparkTestBase {
       sequential.collect().map(rowKey).sorted.toSeq)
   }
 
+  test("fused multi-view merge rejects DateType entity timestamps loudly") {
+    // the fused axis has no per-view Date promotion: a DateType entity ts
+    // would truncate feature times to midnight and leak same-day future
+    // rows — the precondition must be enforced, not just documented
+    // (Historical falls back to the sequential path for Date frames)
+    val dateEntity = entityDf.select(col("conv_id"),
+      col("event_ts").cast("date").as("event_ts"))
+    val e = intercept[IllegalArgumentException] {
+      PointInTimeJoin.enrichMergeFused(dateEntity, Seq(view(3600L), qualityView))
+    }
+    assert(e.getMessage.contains("non-Date entity timestamp"))
+  }
+
   test("fused multi-view merge: slim entity frame, dupes kept") {
     val views = Seq(view(86400L), qualityView)
     val slimEnts = (entities.map { case (c, t, _) => (c, t) } ++
