@@ -12,4 +12,25 @@ private[graft] object Json {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+
+  /** Inverse of [[escape]] (readers that recover a value from a JSON
+    * field, e.g. Backfill's completed-partition listing).
+    */
+  def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' if i + 5 < s.length =>
+          sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+          i += 6
+        case other =>
+          sb += other
+          i += 2
+      }
+      else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -877,7 +877,15 @@ object SparkEntry {
       |ttok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
       |tsh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
       |        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM ttok)),
-      |contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (g))
+      |klens AS (SELECT DISTINCT len(ws) AS k FROM btok WHERE len(ws) >= 1 AND len(ws) < 5),
+      |bshort AS (SELECT DISTINCT array_to_string(ws, ' ') AS g
+      |           FROM btok WHERE len(ws) >= 1 AND len(ws) < 5),
+      |tshort AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+k-1], ' ') AS g
+      |           FROM (SELECT doc_id, ws, k, unnest(generate_series(1, len(ws) - k + 1)) AS i
+      |                 FROM ttok CROSS JOIN klens WHERE len(ws) >= k)),
+      |contam AS (SELECT DISTINCT doc_id FROM (
+      |  SELECT t.doc_id FROM tsh t JOIN bsh USING (g)
+      |  UNION ALL SELECT t.doc_id FROM tshort t JOIN bshort USING (g)))
       |SELECT doc_id FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin)
 
   private val profileValidateOracle = withTables(

@@ -70,25 +70,45 @@ object Tiling {
     }
     val overflowMsg = s"tiled sum of squares of '$valueCol' overflowed " +
       "decimal(38,0); shift or pre-scale the value column"
+    val sumOverflowMsg = s"tiled windowed sum of '$valueCol' overflows " +
+      "bigint; pre-scale the value column"
+    val integral = {
+      import org.apache.spark.sql.types._
+      df.schema(valueCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    // the PLAIN sum of an integral column accumulates in decimal too: a
+    // long sum wraps silently under non-ANSI (~5e3 epoch-micro values per
+    // window suffice), which would corrupt sum_w/avg_w/var_w with no
+    // signal — the decimal IR keeps it exact and the output casts back to
+    // bigint under the same loud-overflow contract as the squares
+    val sumInput = if (integral) widened else col(valueCol)
+    val ssType = df.select(sum(widened * widened).as("s")).schema("s").dataType
+    val sType = df.select(sum(sumInput).as("s")).schema("s").dataType
 
     // 1. per-(keys, hop) IR tiles (orchestrator.py:18-90).
-    // Tile-level overflow guard: __c > 0 with a null __ss can only be
+    // Tile-level overflow guards: __c > 0 with a null sum can only be
     // decimal-sum overflow (values contributing to __c are non-null) —
     // raise instead of letting the null tile vanish from cumulative sums.
     val tiles = df
       .withColumn("__hop", floor(unix_micros(col(tsCol).cast("timestamp")) / hopUs))
       .groupBy(k :+ col("__hop"): _*)
       .agg(
-        sum(col(valueCol)).as("__s"),
+        sum(sumInput).as("__s0"),
         count(col(valueCol)).as("__c"),
         sum(widened * widened).as("__ss0"),
         max(col(valueCol)).as("__mx"))
       .withColumn("__ss",
         when(col("__c") > 0 && col("__ss0").isNull,
-          raise_error(lit(overflowMsg)).cast(df.select(sum(widened * widened)
-            .as("s")).schema("s").dataType))
+          raise_error(lit(overflowMsg)).cast(ssType))
           .otherwise(col("__ss0")))
-      .drop("__ss0")
+      .withColumn("__s",
+        when(col("__c") > 0 && col("__s0").isNull,
+          raise_error(lit(sumOverflowMsg)).cast(sType))
+          .otherwise(col("__s0")))
+      .drop("__ss0", "__s0")
 
     // 2.+3. sparse breakpoint stream instead of a dense grid join.
     //
@@ -165,11 +185,22 @@ object Tiling {
     val varW = when(cW > 1,
       (ssW.cast("double") - sW.cast("double") * sW / cW) / (cW - 1) + ssGuard)
       .otherwise(lit(null).cast("double"))
+    // integral inputs: the exact decimal running sum casts back to the
+    // bigint the caller always saw — a true sum past long range raises
+    // (ANSI natively; the guard under non-ANSI, where the cast nulls)
+    // instead of the silent wraparound the old long accumulation had
+    val sumOut =
+      if (integral) {
+        val castBack = sW.cast("long")
+        when(sW.isNull || castBack.isNull,
+          raise_error(lit(sumOverflowMsg)).cast("long")).otherwise(castBack)
+      } else sW
+    val avgOut = if (integral) sW.cast("double") / cW else sW / cW
     dense.select(
       (k :+ (col("__hop") * hopSec).as("hop_start")) ++ Seq(
-        when(cW > 0, sW).otherwise(lit(null)).as("sum_w"),
+        when(cW > 0, sumOut).otherwise(lit(null)).as("sum_w"),
         cW.as("count_w"),
-        when(cW > 0, sW / cW).otherwise(lit(null)).as("avg_w"),
+        when(cW > 0, avgOut).otherwise(lit(null)).as("avg_w"),
         varW.as("var_w"),
         sqrt(varW).as("std_w"),
         col("__cmx").as("max_cum")): _*)

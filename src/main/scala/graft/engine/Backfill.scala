@@ -92,7 +92,7 @@ object Backfill {
       val observed = slice.observe(inObs, count(lit(1)).as("in_rows"))
       val outRaw = job(observed).filter(col(partitionCol).cast("string") === p)
       outRaw.observe(outObs, count(lit(1)).as("out_rows"))
-        .write.mode("overwrite").parquet(s"$outDir/$partitionCol=$p")
+        .write.mode("overwrite").parquet(s"$outDir/$partitionCol=${escapeDirValue(p)}")
       val outputRows = outObs.get("out_rows").asInstanceOf[Long]
       val inputRows = inObs.get("in_rows").asInstanceOf[Long]
       val dur = System.currentTimeMillis() - t0
@@ -109,9 +109,15 @@ object Backfill {
 
   def isComplete(checkpointDir: String, partition: String): Boolean = {
     val f = manifestPath(checkpointDir, partition)
-    Files.exists(f) &&
-    new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .contains("\"status\": \"complete\"")
+    Files.exists(f) && {
+      val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      // verify the partition FIELD too: filenames are sanitized, so two
+      // values can collide on one manifest file — a collision must read
+      // as incomplete (re-run, wasteful but safe), never alias another
+      // partition's completion
+      txt.contains("\"status\": \"complete\"") &&
+      txt.contains("\"partition\": \"" + graft.Json.escape(partition) + "\"")
+    }
   }
 
   def completedPartitions(checkpointDir: String): Seq[String] = {
@@ -121,20 +127,40 @@ object Backfill {
       // Files.list holds an open directory handle until closed — a driver
       // polling this in a loop would leak fds
       val stream = Files.list(d)
+      // the true partition value lives in the manifest's `partition`
+      // field, not the (sanitized) filename — recover it from the JSON
+      val partField = "\"partition\"\\s*:\\s*\"([^\"\\\\]*(?:\\\\.[^\"\\\\]*)*)\"".r
       try
         stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.endsWith(".json"))
-          .map(_.stripSuffix(".json"))
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .flatMap { f =>
+            val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+            if (!txt.contains("\"status\": \"complete\"")) None
+            else partField.findFirstMatchIn(txt)
+              .map(m => graft.Json.unescape(m.group(1)))
+          }
           .toSeq
-          .filter(isComplete(checkpointDir, _))
           .sorted
       finally stream.close()
     }
   }
 
+  /** Partition values reach the manifest FILENAME and the output PATH:
+    * a '/' (e.g. a `2024/01/01` date layout) would fail the tmp-file
+    * write AFTER the distributed job already ran, or escape `outDir`
+    * into nested directories partition discovery misparses. Filenames
+    * sanitize to a safe charset (the true value lives in the manifest's
+    * `partition` field); output dirs use Spark's own Hive-style
+    * partition-path escaping so [[readOutput]] round-trips the value.
+    */
+  private def safeFileName(partition: String): String =
+    partition.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def escapeDirValue(p: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(p)
+
   private def manifestPath(dir: String, partition: String): Path =
-    Paths.get(dir, s"$partition.json")
+    Paths.get(dir, s"${safeFileName(partition)}.json")
 
   private def writeManifest(
       dir: String, partition: String, inputRows: Long, outputRows: Long,
@@ -160,7 +186,7 @@ object Backfill {
          |  "rows_per_sec": $rps
          |}
          |""".stripMargin
-    val tmp = Paths.get(dir, s".$partition.json.tmp")
+    val tmp = Paths.get(dir, s".${safeFileName(partition)}.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(dir, partition),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -107,9 +107,14 @@ object Materialize {
     // (start, end]: a resumed run must not re-emit rows at exactly the
     // previous asOf boundary (latestPerKey's slice is inclusive on both
     // ends) — append-style consumers would see boundary events twice
+    // filter through mappedSource, never the raw source: tsCol is the
+    // POST-fieldMapping name (model.scala's mappedSource contract) — on a
+    // mapped view the raw source lacks it (AnalysisException on every
+    // resume) or, worse, holds an unrelated column of that name
     val src = resumed match {
-      case Some(prevEnd) => view.copy(source =
-        view.source.filter(col(view.tsCol) > lit(prevEnd)))
+      case Some(prevEnd) => view.copy(
+        source = view.mappedSource.filter(col(view.tsCol) > lit(prevEnd)),
+        fieldMapping = Map.empty)
       case None => view
     }
     (latestPerKey(src, start, asOf), (start, asOf))

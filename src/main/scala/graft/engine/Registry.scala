@@ -104,8 +104,13 @@ final class Registry {
     }
     val resolvedViews = viewOrder.map(n =>
       Projection(cachedView(n), features = perView(n)).resolved)
-    val retrieved = Historical.getHistoricalFeatures(
-      entityDf, resolvedViews, entityTsCol, fullFeatureNames)
+    // a request-data-only ODFV (empty sourceRefs — legitimate reference
+    // shape) resolves ZERO backing views; Historical requires ≥ 1, so the
+    // ODFV applies straight to the entity frame instead
+    val retrieved =
+      if (resolvedViews.isEmpty) entityDf
+      else Historical.getHistoricalFeatures(
+        entityDf, resolvedViews, entityTsCol, fullFeatureNames)
     val withOdfv = requestedOdfvs.foldLeft(retrieved)((acc, v) =>
       applyOdfv(acc, v, fullFeatureNames))
     // Final projection: entity columns + requested refs in ref order.

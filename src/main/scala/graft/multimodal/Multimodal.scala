@@ -81,7 +81,11 @@ object Multimodal {
   /** Byte window i of n: substring on binary, offset spread over the blob. */
   private def substring_index_bytes(b: Column, len: Column, i: Column,
                                     n: Int, frameBytes: Int): Column = {
-    val off = (i * greatest(len - frameBytes, lit(0)) / math.max(n - 1, 1)).cast("int") + 1
+    // multiply in LONG: i * len overflows int for blobs past ~2^31/(n-1)
+    // bytes (a 300 MB video at n=10 already does) — ANSI would throw,
+    // non-ANSI would wrap negative and substring would read end-relative
+    val off = (i.cast("long") * greatest(len - frameBytes, lit(0)).cast("long") /
+      math.max(n - 1, 1)).cast("int") + 1
     substring(b, off, lit(frameBytes))
   }
 
@@ -95,8 +99,20 @@ object Multimodal {
       df: DataFrame, idCol: String, binCol: String,
       decoder: Array[Byte] => Array[Float]
   ): DataFrame = {
+    // the typed lane is keyed on a long id — a blind cast would NULL every
+    // string/UUID id and crash the non-nullable encoder downstream; fail
+    // fast with the actual type instead
+    locally {
+      import org.apache.spark.sql.types._
+      val t = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"featurizeWithDecoder requires an integral $idCol (got $t); " +
+          "map string ids to a surrogate long first")
+    }
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.product[Embedding])
-    val input = df.select(col(idCol).cast("long"), col(binCol))
+    // same non-null contract as featurizeTable: a real codec NPEs on null
+    val input = df.filter(col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     input.mapPartitions { rows =>
       // per-partition decoder init would go here (load model / codec once)

@@ -36,17 +36,26 @@ object Validate {
     val schema = view.source.schema
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
 
+    // a declared-JSON column that does not exist is a MISSING column (a
+    // typo here must flip ok=false, not silently skip the check), and one
+    // that exists with a non-string type cannot be json-checked — surface
+    // that as a type warning rather than letting the caller believe the
+    // column was checked and clean
     val required = (view.joinKeys :+ view.tsCol) ++ view.createdTsCol.toSeq ++
-      declared.keys.toSeq
+      declared.keys.toSeq ++ jsonCols
     val missing = required.distinct.filterNot(byName.contains)
 
+    val jsonTypeWarnings = jsonCols.distinct.sorted.collect {
+      case c if byName.get(c).exists(_ != StringType) =>
+        s"$c: declared JSON but typed ${byName(c)} — json check skipped"
+    }
     val warnings = declared.toSeq.sorted(Ordering.by((x: (String, DataType)) => x._1))
       .flatMap { case (name, expected) =>
         byName.get(name).collect {
           case actual if !TypeBridge.compatible(expected, actual) =>
             s"$name: expected $expected, found $actual (not widenable)"
         }
-      }
+      } ++ jsonTypeWarnings
 
     val invalidJson: Map[String, Long] =
       if (missing.nonEmpty) Map.empty

@@ -45,8 +45,19 @@ object Packing {
     val key = md5(col(idCol).cast("string"))
     val bucket = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"), lit(numBuckets))
       .cast("int")
+    // enforce the stated positive-token-count precondition at data level:
+    // a zero count on a chunk boundary inverts the doc's (pack_first,
+    // pack_last) range, and a negative or NULL count shifts __cum and
+    // corrupts the offsets of every later doc in the bucket — silently
+    val nTokens = {
+      val t = col(tokensCol).cast("long")
+      when(t > 0, t).otherwise(raise_error(concat(
+        lit(s"packSequences requires positive $tokensCol, got "),
+        coalesce(t.cast("string"), lit("NULL")),
+        lit(s" for $idCol="), col(idCol).cast("string"))).cast("long"))
+    }
     val w = Window.partitionBy(col("bucket")).orderBy(col("__key"), col(idCol))
-    df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
+    df.select(col(idCol), nTokens.as("n_tokens"),
         key.as("__key"), bucket.as("bucket"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("__start", col("__cum") - col("n_tokens"))

@@ -18,17 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** First-4-hex-digit md5 bucket of the id rendered as a string —
-    * 65536 buckets, uniform, engine-portable (md5 of the decimal string
-    * is identical everywhere; the hex prefix compares lexicographically).
+  /** First-4-hex-digit md5 bucket of the id as a NUMBER in [0, 65535] —
+    * 65536 buckets, uniform, engine-portable (md5 of the decimal string is
+    * identical everywhere; hex→int is standard SQL `conv`/`from_hex`).
+    * Numeric, not lexicographic: for fixed-width hex the two orders agree,
+    * but a cumulative fraction of exactly 1.0 (legal: a trailing
+    * zero-fraction split) needs cutoff 65536 — representable as a number,
+    * while its 5-char hex rendering "10000" compares BELOW almost every
+    * 4-char bucket and would misroute ~94 % of rows.
     */
   private def hashBucket(idCol: String): Column =
-    substring(md5(col(idCol).cast("string")), 1, 4)
+    conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
 
-  /** Cumulative-fraction cutoffs as 4-hex-digit strings. */
-  private[sample] def cutoffs(fractions: Seq[Double]): Seq[String] = {
+  /** Cumulative-fraction cutoffs as bucket numbers in [0, 65536]. */
+  private[sample] def cutoffs(fractions: Seq[Double]): Seq[Long] = {
     val cum = fractions.scanLeft(0.0)(_ + _).tail
-    cum.init.map(f => f"${math.floor(f * 65536).toLong}%04x")
+    cum.init.map(f => math.min(math.floor(f * 65536).toLong, 65536L))
   }
 
   /** Assign every row to a named split (e.g. train/val/test) with the given
@@ -40,6 +45,7 @@ object Sampling {
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
+    require(splits.forall(_._2 >= 0), "split fractions must be non-negative")
     val cuts = cutoffs(splits.map(_._2))
     val b = hashBucket(idCol)
     val assign = splits.init.map(_._1).zip(cuts).foldRight(lit(splits.last._1): Column) {

@@ -51,6 +51,7 @@ object Ann {
       corpus: DataFrame, // (c_id, c_vec)
       k: Int
   ): DataFrame = {
+    requireSameDim(queries, "q_vec", corpus, "c_vec")
     val q = broadcast(queries.select(
       col("q_id"), col("q_vec").cast("array<double>").as("q_vec"),
       norm(col("q_vec").cast("array<double>")).as("__qn")))
@@ -97,6 +98,25 @@ object Ann {
             (if (r.isNullAt(0)) "NULL" else r.getInt(0).toString))
       }
 
+  private def vecLen(df: DataFrame, vecCol: String): Option[Int] =
+    df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).limit(1)
+      .collect().headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+
+  /** Dimension agreement between the two sides of an ANN search: a
+    * mismatch makes every dot NULL and every result set silently empty —
+    * same degeneration [[requireDim]] guards against, but for the paths
+    * with no declared `dim` parameter. Two one-row probes.
+    */
+  private[sim] def requireSameDim(
+      queries: DataFrame, qVecCol: String,
+      corpus: DataFrame, cVecCol: String): Unit =
+    (vecLen(queries, qVecCol), vecLen(corpus, cVecCol)) match {
+      case (Some(a), Some(b)) =>
+        require(a == b,
+          s"$qVecCol vectors have length $a but $cVecCol vectors have length $b")
+      case _ => () // an all-NULL or empty side has nothing to disagree with
+    }
+
   /** Bucket signature of `vec` in one table: bit b = sign(vec · plane_b).
     * Composed-expression reference form — production paths use the single
     * codegen'd `VectorFunctions.signBuckets` (O(1) generated-code size in
@@ -122,6 +142,10 @@ object Ann {
       seed: Long = 20260816L
   ): DataFrame = {
     requireDim(corpus, "c_vec", dim)
+    // the query side degenerates just as silently: wrong-dim queries get
+    // all-zero buckets and NULL sims → an empty result set instead of a
+    // diagnostic (and lshRecall would report misleading recall)
+    requireDim(queries, "q_vec", dim)
     val hp = hyperplanes(tables, bits, dim, seed)
     // one SignBuckets expression per row (codegen size O(1) in
     // tables × bits) instead of tables × bits composed dots, which blow the
@@ -329,6 +353,7 @@ object Ann {
       lloydIters: Int = 2,
       corpusRowsHint: Option[Long] = None
   ): DataFrame = {
+    requireSameDim(queries, "q_vec", corpus, "c_vec")
     val c = corpus.select(col("c_id"), col("c_vec").cast("array<double>").as("c_vec"))
     val q = queries.select(col("q_id"), col("q_vec").cast("array<double>").as("q_vec"))
     val centroids = trainCentroids(c, nlist, lloydIters,

@@ -72,7 +72,12 @@ object Quantize {
       k: Int,
       dim: Int
   ): DataFrame = {
-    val cb = codebook(corpus, "c_vec", dim)
+    // materialize the one-row codebook: it feeds TWO broadcast subplans
+    // (quantize + dequantize), each embedding the full-corpus min/max
+    // aggregate — exchange reuse across them is planner-dependent, and a
+    // second corpus scan is the most expensive thing this function could
+    // possibly waste
+    val cb = graft.CachePolicy.materialize(codebook(corpus, "c_vec", dim))
     val deq = dequantize(quantize(corpus, "c_id", "c_vec", dim, Some(cb)), "c_id", cb, dim)
       .withColumnRenamed("vec", "c_vec")
     Ann.bruteForceTopK(queries, deq, k)

@@ -24,18 +24,29 @@ object Sinks {
   }
 
   def alignToSchema(df: DataFrame, target: StructType): DataFrame = {
-    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // case-INsensitive resolution, matching Spark's default analyzer
+    // (spark.sql.caseSensitive=false): a frame with column "ID" satisfies
+    // target field "id" everywhere else in Spark, so the sink must accept
+    // it too (output uses the target's spelling). Ambiguity ("id" + "ID"
+    // both present) fails loudly rather than picking one.
+    val byName = df.schema.fields.groupBy(_.name.toLowerCase).map {
+      case (lc, fields) => lc -> fields.toSeq
+    }
     val cols = target.fields.map { f =>
-      val actual = byName.getOrElse(f.name,
+      val matches = byName.getOrElse(f.name.toLowerCase,
         throw new IllegalArgumentException(s"missing column ${f.name} for sink schema"))
-      (actual, f.dataType) match {
-        case (_: StructType, StringType) => to_json(col(f.name)).as(f.name)
-        case (_: MapType, StringType)    => to_json(col(f.name)).as(f.name)
+      require(matches.size == 1,
+        s"ambiguous column ${f.name} for sink schema: " +
+          matches.map(_.name).mkString(","))
+      val src = matches.head
+      (src.dataType, f.dataType) match {
+        case (_: StructType, StringType) => to_json(col(src.name)).as(f.name)
+        case (_: MapType, StringType)    => to_json(col(src.name)).as(f.name)
         // arrays targeting STRING must serialize as JSON too — cast()
         // renders Spark's non-JSON '[{1, a}]' text
-        case (_: ArrayType, StringType)  => to_json(col(f.name)).as(f.name)
-        case (a, t) if a == t            => col(f.name)
-        case (_, t)                      => col(f.name).cast(t).as(f.name)
+        case (_: ArrayType, StringType)  => to_json(col(src.name)).as(f.name)
+        case (a, t) if a == t            => col(src.name).as(f.name)
+        case (_, t)                      => col(src.name).cast(t).as(f.name)
       }
     }
     df.select(cols.toIndexedSeq: _*)

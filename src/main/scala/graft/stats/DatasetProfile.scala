@@ -113,9 +113,11 @@ object DatasetProfile {
       candidate: DataFrame,
       referenceProfile: DataFrame,
       columns: Seq[String] = Nil,
-      relTol: Double = 0.1
+      relTol: Double = 0.1,
+      absTol: Double = 1e-9,
+      exact: Boolean = false
   ): Unit = {
-    val failures = validate(candidate, referenceProfile, columns, relTol)
+    val failures = validate(candidate, referenceProfile, columns, relTol, absTol, exact)
       .filter(!col("passed"))
       .select("column", "metric", "ref_value", "got_value")
       .collect()

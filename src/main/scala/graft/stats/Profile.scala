@@ -54,7 +54,12 @@ object Profile {
         .select(lit(0).as("bucket"), lit(0L).as("cnt")).limit(0)
     val (mn, mx) = (boundsRow.getDouble(0), boundsRow.getDouble(1))
     val width = (mx - mn) / bins
-    val bucket = least(greatest(floor((c - lit(mn)) / lit(width)) + 1, lit(1)), lit(bins))
+    // a constant column (min == max) has zero bin width: the division
+    // would raise DIVIDE_BY_ZERO under ANSI and silently NULL-route under
+    // non-ANSI — every value IS the single occupied bucket instead
+    val bucket =
+      if (width == 0.0) lit(1)
+      else least(greatest(floor((c - lit(mn)) / lit(width)) + 1, lit(1)), lit(bins))
     df.filter(c.isNotNull)
       .groupBy(bucket.cast("int").as("bucket"))
       .agg(count(lit(1)).as("cnt"))

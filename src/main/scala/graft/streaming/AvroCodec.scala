@@ -165,7 +165,18 @@ object AvroCodec {
       case sch if sch.getType == Schema.Type.RECORD =>
         val row = v.asInstanceOf[Row]
         val rec = new GenericData.Record(sch)
-        sch.getFields.asScala.foreach(f => rec.put(f.pos, toAvro(row.get(f.pos), f.schema)))
+        // resolve fields by NAME, not position: a nested struct's Spark
+        // field order need not match the Avro schema's (only the TOP level
+        // is reordered by encode's select) — positional reads would
+        // silently swap same-typed values. A missing field fails loudly
+        // (fieldIndex throws). Schemaless rows (hand-built Row(...)) keep
+        // the positional contract.
+        sch.getFields.asScala.foreach { f =>
+          val value =
+            if (row.schema != null) row.get(row.fieldIndex(f.name))
+            else row.get(f.pos)
+          rec.put(f.pos, toAvro(value, f.schema))
+        }
         rec
       case sch if sch.getType == Schema.Type.ARRAY =>
         v.asInstanceOf[scala.collection.Seq[Any]]

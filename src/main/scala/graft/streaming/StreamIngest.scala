@@ -70,7 +70,37 @@ object StreamIngest {
     * and appended to `outPath` with its batch id (the "online store write"
     * stand-in — the sandbox has no Kafka/Redis; the parquet append is the
     * offline path of `_write_stream_data`, spark_kafka_processor.py:155-175).
+    *
+    * `createdTsForBatch` stamps each batch's rows from its batch id — a
+    * long-running query must NOT carry one constant created_ts for its
+    * whole lifetime (it would make created_ts useless as a dedup
+    * tie-breaker or anti-leak cutoff: Friday's rows stamped with Monday's
+    * start time). Production passes a clock
+    * (`_ => new Timestamp(System.currentTimeMillis())`, the reference's
+    * per-batch ingest time); tests pass a deterministic function.
     */
+  def ingest(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieBreakCols: Seq[String],
+      outPath: String,
+      checkpoint: String,
+      createdTsForBatch: Long => java.sql.Timestamp
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        latestPerKeyBatch(batch, keys, tsCol, tieBreakCols,
+          createdTsForBatch(batchId))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Deterministic-constant form (tests and replays). */
   def ingest(
       stream: DataFrame,
       keys: Seq[String],
@@ -80,16 +110,8 @@ object StreamIngest {
       checkpoint: String,
       createdTs: java.sql.Timestamp
   ): StreamingQuery =
-    stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        latestPerKeyBatch(batch, keys, tsCol, tieBreakCols, createdTs)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
-        ()
-      }
-      .start()
+    ingest(stream, keys, tsCol, tieBreakCols, outPath, checkpoint,
+      (_: Long) => createdTs)
 
   /** ST3 (idiomatic replacement): watermarked tumbling aggregation —
     * late rows beyond the watermark are dropped, windows finalize exactly

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** (id, n_overlap) for every training doc sharing ≥ `minOverlap` distinct
-    * word-`n`-grams with the benchmark corpus.
+    * word-`n`-grams with the benchmark corpus. Benchmark docs SHORTER than
+    * `n` words are screened by whole-text containment (see
+    * [[shortBenchMatches]]) — without that, a 6-word benchmark question
+    * verbatim inside a 1000-word training doc would pass a 13-gram screen,
+    * because the short doc's only shingle (its whole text) never equals any
+    * 13-gram.
     */
   def contaminationOverlap(
       train: DataFrame,
@@ -43,13 +48,61 @@ object Decontaminate {
     // join BEFORE dedup: the broadcast semi-join filters the raw shingle
     // stream map-side, so the train corpus's shingles never shuffle — only
     // the (tiny) matched set is deduped for the per-doc distinct count
-    Dedup.shingles(train, idCol, textCol, n, distinct = false)
+    val mainMatches = Dedup.shingles(train, idCol, textCol, n, distinct = false)
       .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
       .join(benchSh, Seq("__sh"))
+      .select(col(idCol), col("__sh"))
+    overlapCounts(
+      shortBenchMatches(train, bench, idCol, textCol, n)
+        .map(mainMatches.unionByName(_)).getOrElse(mainMatches),
+      idCol, minOverlap)
+  }
+
+  private def overlapCounts(matches: DataFrame, idCol: String,
+                            minOverlap: Int): DataFrame =
+    matches
       .distinct()
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
+
+  /** Matched (train id, shingle-hash) pairs for benchmark docs shorter
+    * than `n` words: their whole (token-rejoined) text against train
+    * word-k-grams, generated in ONE extra train pass for exactly the
+    * short lengths k present in the benchmark (a tiny driver-side distinct
+    * on the benchmark side — small by contract). None when the benchmark
+    * has no short docs, which keeps the common case single-pass.
+    */
+  private def shortBenchMatches(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): Option[DataFrame] = {
+    val btoks = split(col(textCol), " ")
+    val isShort = col(textCol).isNotNull && size(btoks) < n && size(btoks) >= 1
+    val ks = bench.filter(isShort)
+      .select(size(btoks).as("k")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (ks.isEmpty) None
+    else {
+      // token-rejoined text, same normalization as the k-grams it must equal
+      val benchShort = broadcast(bench.filter(isShort)
+        .select(xxhash64(array_join(btoks, " ")).as("__sh")).distinct())
+      val ttoks = split(col(textCol), " ")
+      val gramsPerK = ks.map { k =>
+        when(size(ttoks) >= k,
+          transform(sequence(lit(0), size(ttoks) - k),
+            i => array_join(slice(ttoks, i + 1, lit(k)), " ")))
+          .otherwise(typedLit(Seq.empty[String]))
+      }
+      Some(train.filter(col(textCol).isNotNull)
+        .select(col(idCol), explode(flatten(array(gramsPerK: _*))).as("__g"))
+        .select(col(idCol), xxhash64(col("__g")).as("__sh"))
+        .join(benchShort, Seq("__sh"))
+        .select(col(idCol), col("__sh")))
+    }
   }
 
   /** [[contaminationOverlap]] with a broadcast *bloom sketch* prefilter
@@ -96,16 +149,20 @@ object Decontaminate {
     // one distributed pass over the benchmark shingles; the merged sketch
     // lands on the driver at sketch size (KB–MB), not set size
     val bf = benchSh.stat.bloomFilter("__sh", expected, fpp)
-    Dedup.shingles(train, idCol, textCol, n, distinct = false)
+    val mainMatches = Dedup.shingles(train, idCol, textCol, n, distinct = false)
       .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
       // map-side, codegen'd, zero-shuffle prefilter of the train stream
       .filter(graft.functions.SketchFunctions.bloomMightContainLong(bf, col("__sh")))
       // exact verify: false positives die here, restoring exact-path output
       .join(benchSh, Seq("__sh"))
-      .distinct()
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") >= minOverlap)
+      .select(col(idCol), col("__sh"))
+    // short benchmark docs screen exactly (the short set is a tiny subset
+    // of the benchmark — broadcast, no sketch needed), keeping this path
+    // byte-identical to contaminationOverlap
+    overlapCounts(
+      shortBenchMatches(train, bench, idCol, textCol, n)
+        .map(mainMatches.unionByName(_)).getOrElse(mainMatches),
+      idCol, minOverlap)
   }
 
   /** Training corpus with contaminated documents removed (anti join against

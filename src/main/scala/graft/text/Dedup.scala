@@ -386,7 +386,11 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: on low-similarity corpora most
+      // banded collisions fail the Hamming check, and a pair filtered
+      // map-side never pays the distinct() exchange (identical output —
+      // duplicates carry identical hamming)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

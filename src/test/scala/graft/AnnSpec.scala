@@ -149,6 +149,23 @@ class AnnSpec extends SparkTestBase {
       Ann.lshTopK(q, c, k = 1, dim = 64)
     }
     assert(e.getMessage.contains("dim"))
+    // the QUERY side degenerates just as silently (all-zero buckets,
+    // empty result set) — it must be validated too
+    val c8 = Seq((1L, Array.fill(8)(0.5f))).toDF("c_id", "c_vec")
+    val q16 = Seq((2L, Array.fill(16)(0.5f))).toDF("q_id", "q_vec")
+    val eq = intercept[IllegalArgumentException] {
+      Ann.lshTopK(q16, c8, k = 1, dim = 8)
+    }
+    assert(eq.getMessage.contains("dim"))
+  }
+
+  test("query/corpus dimension disagreement fails loudly on the dim-less paths") {
+    val c = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.25f))).toDF("c_id", "c_vec")
+    val q = Seq((9L, Array.fill(16)(0.5f))).toDF("q_id", "q_vec")
+    val eb = intercept[IllegalArgumentException] { Ann.bruteForceTopK(q, c, k = 1) }
+    assert(eb.getMessage.contains("length"))
+    val ei = intercept[IllegalArgumentException] { Ann.ivfTopK(q, c, k = 1, nlist = 2) }
+    assert(ei.getMessage.contains("length"))
   }
 
   test("cosine expression matches the Scala computation") {

@@ -154,6 +154,36 @@ class AvroCodecSpec extends SparkTestBase {
     assert(out.exceptAll(t).isEmpty && t.exceptAll(out).isEmpty)
   }
 
+  test("encode resolves nested record fields by name, not position") {
+    // Spark struct field order (y, x) deliberately REVERSED vs the Avro
+    // record (x, y): positional encoding would silently swap the values
+    val schema =
+      """{"type":"record","name":"E","fields":[
+        |{"name":"id","type":"string"},
+        |{"name":"pt","type":{"type":"record","name":"Pt","fields":[
+        |{"name":"x","type":"double"},{"name":"y","type":"double"}]}}]}""".stripMargin
+    val df = Seq(("a", 2.0, 1.0)).toDF("id", "y", "x")
+      .select(col("id"), struct(col("y"), col("x")).as("pt"))
+    val decoded = AvroCodec.decode(
+      AvroCodec.encode(df, schema), "value", schema)
+    val row = decoded.select("pt.x", "pt.y").as[(Double, Double)].head()
+    assert(row == ((1.0, 2.0)), s"x must carry the x value, got $row")
+    // a nested struct MISSING an Avro field fails loudly, not positionally
+    val dfMissing = Seq(("a", 1.0)).toDF("id", "x")
+      .select(col("id"), struct(col("x")).as("pt"))
+    val e = intercept[Exception] {
+      AvroCodec.encode(dfMissing, schema).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(s => Option(s.getMessage).toSeq ++ msgs(s.getCause))
+    assert(
+      msgs(e).exists { m =>
+        val lm = m.toLowerCase
+        lm.contains("y") && (lm.contains("not") || lm.contains("no such"))
+      },
+      msgs(e).mkString(" | "))
+  }
+
   test("general unions are rejected with a clear error") {
     val bad =
       """{"type":"record","name":"U","fields":[

@@ -106,6 +106,55 @@ class BackfillSpec extends SparkTestBase {
     assert(Materialize.mostRecentEnd(dir, view.name).contains(t2))
   }
 
+  test("incremental resume filters through the field mapping, not the raw source") {
+    import java.sql.Timestamp
+    import graft.engine.Materialize
+    val dir = s"$tmp/intervals_mapped"
+    // raw source column is event_time; the view's tsCol names the MAPPED
+    // name — the resume filter on the raw source would fail (no 'ts'
+    // column) or, with an unrelated raw 'ts', filter the wrong column
+    val raw = Transcripts.synthetic(spark, nConvs = 6, turnsPerConv = 8, seed = 5L)
+      .withColumnRenamed("ts", "event_time")
+    val view = FeatureView("mapped_view", raw, Seq("conv_id"), "ts", None, 0L,
+      features = Seq("turn_idx"), fieldMapping = Map("event_time" -> "ts"),
+      tieBreakCols = Seq("turn_idx"))
+    // t1 sits INSIDE the synthetic data's time range (convs start at
+    // base + ci hours on 2026-01-01) so the resumed (t1, t2] slice is
+    // provably non-empty — an always-empty delta would pass vacuously
+    val t1 = Timestamp.valueOf("2026-01-01 03:00:00")
+    val t2 = Timestamp.valueOf("2026-01-09 00:00:00")
+    val (df1, (s1, e1)) = Materialize.incremental(view, t1, dir)
+    assert(df1.count() > 0)
+    Materialize.recordInterval(dir, view.name, s1, e1)
+    val (df2, (s2, e2)) = Materialize.incremental(view, t2, dir)
+    assert(s2 == t1 && e2 == t2)
+    // the resumed slice must respect (t1, t2] through the mapping
+    val tsVals = df2.select(col("ts")).collect().map(_.getTimestamp(0))
+    assert(tsVals.nonEmpty && tsVals.forall(_.after(t1)))
+  }
+
+  test("partition values with path separators neither escape dirs nor lose resume state") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val ckpt = s"$tmp/ckpt_slash"
+    val out = s"$tmp/out_slash"
+    val src = Seq(
+      ("2024/01/01", "a", 1L), ("2024/01/01", "b", 2L),
+      ("2024/01/02", "c", 3L)
+    ).toDF("grp", "k", "v")
+    val r1 = Backfill.run(spark, src, "grp", out, ckpt, (d: DataFrame) => d)
+    assert(r1.map(_.partition).sorted == Seq("2024/01/01", "2024/01/02"))
+    // manifests recover the TRUE values (not the sanitized filenames)
+    assert(Backfill.completedPartitions(ckpt) == Seq("2024/01/01", "2024/01/02"))
+    // re-run is a no-op (resume state survived the sanitization round trip)
+    assert(Backfill.run(spark, src, "grp", out, ckpt, (d: DataFrame) => d).isEmpty)
+    // output partition discovery round-trips the escaped value
+    val back = Backfill.readOutput(spark, out)
+    assert(back.count() == 3)
+    assert(back.select("grp").distinct().collect().map(_.getString(0)).sorted
+      === Array("2024/01/01", "2024/01/02"))
+  }
+
   test("ledger reader tolerates format drift in the writer (field-level parse)") {
     import java.sql.Timestamp
     import graft.engine.Materialize

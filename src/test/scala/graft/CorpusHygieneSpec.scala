@@ -105,6 +105,28 @@ class CorpusHygieneSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L), s"doc 2 shares a 5-gram with the benchmark; got $kept")
   }
 
+  test("a short benchmark doc embedded in a long train doc is caught") {
+    // a 3-word benchmark item emits only its whole text as a shingle under
+    // n = 5, which never equals any 5-gram — the short-doc screen must
+    // catch it by whole-text containment against train 3-grams
+    val bench = Seq(
+      (100L, "capital of malta"),
+      (101L, "one two three four five six seven benchmark items")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "students often ask what is the capital of malta during class"),
+      (2L, "totally unrelated long document about cooking pasta dinner tonight ok"),
+      (3L, "capital of malta"), // whole-doc exact match, both short
+      (4L, "one two three four five six seven benchmark items leaked here")
+    ).toDF("doc_id", "text")
+    val kept = Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"docs 1/3 contain the short bench item, 4 a 5-gram; got $kept")
+    // bloom path keeps its byte-identical contract through the short screen
+    val keptBloom = Decontaminate.decontaminateBloom(train, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBloom == kept)
+  }
+
   test("minOverlap raises the bar to >= k shared shingles") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
     // shares exactly one 5-gram window with the benchmark

@@ -13,6 +13,25 @@ class DatasetProfileSpec extends SparkTestBase {
     .map(i => (i.toLong, (i % 7).toDouble, s"cat_${i % 3}"))
     .toDF("id", "value", "category")
 
+  test("histogram of a constant column puts every row in one bucket, no div-by-zero") {
+    // min == max means zero bin width: the division would raise
+    // DIVIDE_BY_ZERO under ANSI (session default) and NULL-route silently
+    // under non-ANSI
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val h = graft.stats.Profile.histogram(const, "v", bins = 4)
+      .as[(Int, Long)].collect().toSeq
+    assert(h == Seq((1, 3L)), s"single occupied bucket, got $h")
+  }
+
+  test("requireValid plumbs exact and absTol through to validate") {
+    // exact reference vs exact candidate of the SAME data must pass when
+    // the exact flag reaches the candidate profiling (approx sketches on
+    // skewed data could drift past relTol otherwise)
+    val ref = DatasetProfile.profile(data, Seq("value"), exact = true)
+    DatasetProfile.requireValid(data, ref, Seq("value"),
+      relTol = 0.0, absTol = 1e-12, exact = true)
+  }
+
   test("profile emits the full metric set in one pass") {
     val p = DatasetProfile.profile(data, exact = true)
       .as[(String, String, Double)].collect()

@@ -99,6 +99,24 @@ class OnDemandSpec extends SparkTestBase {
     }
   }
 
+  test("registry resolves a request-data-only ODFV ref with zero backing views") {
+    // empty sourceRefs is a legitimate reference shape (transform computed
+    // purely from request columns) — it must apply straight to the entity
+    // frame instead of tripping Historical's >=1-view requirement
+    val reg = new Registry()
+      .register(OnDemandView("reqonly",
+        inputs = Nil,
+        requestCols = Seq("req_mult"),
+        outputs = Seq("mult_sq"),
+        transform = df => df.withColumn("mult_sq", col("req_mult") * col("req_mult"))))
+    val withReq = entity.withColumn("req_mult", col("event_ts").cast("long") % 7)
+    val out = reg.getHistoricalFeatures(withReq, Seq("reqonly:mult_sq"))
+    assert(out.columns.toSeq ==
+      Seq("conv_id", "event_ts", "req_mult", "mult_sq"))
+    assert(out.count() == withReq.count())
+    assert(out.filter(col("mult_sq") =!= col("req_mult") * col("req_mult")).isEmpty)
+  }
+
   test("registry fullFeatureNames prefixes view and ODFV outputs") {
     val reg = new Registry()
       .register(view)

@@ -24,6 +24,31 @@ class SamplingSpec extends SparkTestBase {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("hashSplit: a trailing zero-fraction split gets nothing, not ~94%") {
+    // cumulative fraction 1.0 at an intermediate cutoff: the old
+    // lexicographic hex comparison rendered it "10000" (5 chars), which
+    // sorts BELOW most 4-char buckets and misrouted ~94% of rows into the
+    // zero-fraction split
+    val out = Sampling.hashSplit(ids, "doc_id", Seq("train" -> 1.0, "unused" -> 0.0))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("train", 0L) == 2000L, s"all rows train, got $counts")
+    // negative fractions are rejected even when they sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "doc_id", Seq("a" -> 1.2, "b" -> -0.2))
+    }
+  }
+
+  test("packSequences rejects zero, negative, and NULL token counts loudly") {
+    import graft.sample.Packing
+    val bad = Seq(("a", 5L), ("b", 0L), ("c", 7L)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      Packing.packSequences(bad, "doc_id", "n_tok", capacity = 8, numBuckets = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("requires positive")), msgs(e).mkString(" | "))
+  }
+
   test("hashSplit: assignments are stable when new rows are appended") {
     val splits = Seq("train" -> 0.9, "val" -> 0.1)
     val small = Sampling.hashSplit(ids.filter(col("doc_id") < 500), "doc_id", splits)

@@ -35,6 +35,22 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("align resolves case-insensitively like Spark's analyzer; ambiguity errors") {
+    val df = Seq((1L, "x")).toDF("ID", "C")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("c", StringType)))
+    val aligned = Sinks.alignToSchema(df, target)
+    // output uses the TARGET's spelling
+    assert(aligned.schema.fields.map(_.name).toSeq == Seq("id", "c"))
+    assert(aligned.as[(Long, String)].head() == ((1L, "x")))
+    // two source columns differing only by case cannot be resolved silently
+    val dupe = Seq((1L, 2L, "x")).toDF("id", "ID", "c")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.alignToSchema(dupe, target)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("foreachPartition sink streams every row through the writer") {
     SinksSpec.written.clear()
     val df = Transcripts.synthetic(spark, nConvs = 5, turnsPerConv = 8, seed = 2L)

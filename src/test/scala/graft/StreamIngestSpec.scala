@@ -44,6 +44,26 @@ class StreamIngestSpec extends SparkTestBase {
     assert(out.select("created_ts").distinct().as[Timestamp].collect().toSeq == Seq(created))
   }
 
+  test("ingest stamps created_ts PER BATCH, not once for the query lifetime") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    // batch id → distinct timestamp: a long-running query must not stamp
+    // Friday's rows with Monday's start time
+    val q = StreamIngest.ingest(mem.toDF(), Seq("conv_id"), "ts",
+      Seq("turn_idx"), s"$tmp/out_pb", s"$tmp/ckpt_pb",
+      (batchId: Long) => new Timestamp(created.getTime + batchId * 60000L))
+    val (b0, b1) = turns.splitAt(turns.length / 2)
+    mem.addData(b0); q.processAllAvailable()
+    mem.addData(b1); q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$tmp/out_pb")
+    val stamps = out.select("batch_id", "created_ts").distinct()
+      .as[(Long, Timestamp)].collect().toMap
+    assert(stamps == Map(
+      0L -> created,
+      1L -> new Timestamp(created.getTime + 60000L)))
+  }
+
   test("watermarked windowed agg equals the batch tumbling agg once complete") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Turn]
