@@ -324,17 +324,35 @@ object Bench {
       def configOf(s: String): String =
         Seq(""""cores_n":\d+""", """"cores_4n":\d+""", """"turns":\d+""")
           .flatMap(re => re.r.findFirstIn(s)).mkString(",")
-      val p = java.nio.file.Paths.get(bestFile)
-      val prior =
+      def read(path: String): String = {
+        val p = java.nio.file.Paths.get(path)
         if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
         else ""
-      if (fresh != "null" && effOf(fresh) > effOf(prior) &&
-        (prior.isEmpty || configOf(fresh) == configOf(prior))) {
+      }
+      val base = read(bestFile)
+      // a fresh record at ANOTHER configuration (a different machine's
+      // auto-derived core pair, or a targeted hunt at a non-default input
+      // size) gets its OWN side file keyed by config — neither silently
+      // dropped (first-writer-wins would freeze the canonical file's
+      // machine forever) nor allowed to overwrite the canonical record
+      // with an incomparable number
+      val target =
+        if (fresh == "null" || base.isEmpty || configOf(base) == configOf(fresh))
+          bestFile
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(configOf(fresh).getBytes("UTF-8"))
+          bestFile.stripSuffix(".json") + "-" +
+            md.take(4).map("%02x".format(_)).mkString + ".json"
+        }
+      val prior = if (target == bestFile) base else read(target)
+      if (fresh != "null" && effOf(fresh) > effOf(prior)) {
         val stamped = fresh.dropRight(1) +
           s""","recorded_at":"${java.time.Instant.now()}"}"""
-        java.nio.file.Files.writeString(p, stamped + "\n")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(target), stamped + "\n")
         stamped
       } else if (prior.nonEmpty) prior
+      else if (base.nonEmpty) base
       else "null"
     }
     val scalingBest = carryBest(scaling, "bench_best_scaling.json")
@@ -355,7 +373,13 @@ object Bench {
     // the record also goes to a FILE: the driver captures the process log
     // TAIL, which has truncated per-query timings out of past rounds'
     // records — the on-disk copy is the complete, clip-proof artifact
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    // a TARGETED run (block subset) must not replace the last complete
+    // record at the default path with a partial one — that file exists
+    // precisely to preserve the full per-query evidence; explicit
+    // SPARK_GRAFT_BENCH_OUT still goes wherever the caller pointed it
+    val fullRun = Set("sweep", "scaling", "scaling_join").subsetOf(blocks)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (fullRun) "bench_latest.json" else "bench_latest.partial.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), record + "\n")
   }
 }

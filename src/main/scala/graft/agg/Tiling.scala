@@ -170,8 +170,15 @@ object Tiling {
         (k ++ Seq(col("__sw"), col("__cw"), col("__ssw"), col("__cmx"))) :+
           explode(sequence(col("__hop"), segEnd - 1)).as("__hop"): _*)
 
-    val sW = col("__sw")
     val cW = col("__cw")
+    // Cumulative-level sum guard at the DEFINITION, not the output: tile
+    // IRs are non-null (guarded above), so a null running __sw with rows
+    // in the window means the RUNNING decimal sum overflowed. Guarding
+    // here makes every consumer (sum_w, avg_w, var_w) raise — a guard on
+    // sum_w alone is pruned away by Catalyst when the caller selects only
+    // avg_w, silently nulling it.
+    val sW = when(cW > 0 && col("__sw").isNull,
+      raise_error(lit(sumOverflowMsg)).cast(sType)).otherwise(col("__sw"))
     val ssW = col("__ssw")
     // double-first multiply (same order as the oracle's CAST AS DOUBLE):
     // long·long would overflow on large windowed sums.
@@ -192,7 +199,10 @@ object Tiling {
     val sumOut =
       if (integral) {
         val castBack = sW.cast("long")
-        when(sW.isNull || castBack.isNull,
+        // sW itself raises on running-sum overflow; this catches the
+        // narrower case of an exact decimal sum past long range (cast
+        // nulls under non-ANSI, raises natively under ANSI)
+        when(castBack.isNull && sW.isNotNull,
           raise_error(lit(sumOverflowMsg)).cast("long")).otherwise(castBack)
       } else sW
     val avgOut = if (integral) sW.cast("double") / cW else sW / cW

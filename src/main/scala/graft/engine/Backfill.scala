@@ -153,8 +153,19 @@ object Backfill {
     * `partition` field); output dirs use Spark's own Hive-style
     * partition-path escaping so [[readOutput]] round-trips the value.
     */
-  private def safeFileName(partition: String): String =
-    partition.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def safeFileName(partition: String): String = {
+    val sanitized = partition.replaceAll("[^A-Za-z0-9._-]", "_")
+    // lossy sanitization (or truncation) appends a digest of the TRUE
+    // value: otherwise "2024/01/01" and "2024_01_01" share one manifest
+    // file and each run un-completes the other — resume never converges
+    // to a no-op. Values that are already safe keep their plain filename.
+    if (sanitized == partition && sanitized.length <= 120) sanitized
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(partition.getBytes(StandardCharsets.UTF_8))
+      sanitized.take(120) + "-" + md.take(4).map("%02x".format(_)).mkString
+    }
+  }
 
   private def escapeDirValue(p: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(p)

@@ -158,6 +158,25 @@ object AvroCodec {
 
   // --- encode ---------------------------------------------------------------
 
+  /** Nested struct field lookup matching the analyzer's default
+    * case-INsensitivity (spark.sql.caseSensitive=false): exact name first,
+    * then a unique case-insensitive match; a missing field or a
+    * case-ambiguous pair ("x" + "X") fails loudly.
+    */
+  private def nestedFieldIndex(row: Row, name: String): Int =
+    try row.fieldIndex(name)
+    catch {
+      case e: IllegalArgumentException =>
+        val names = row.schema.fieldNames
+        names.indices.filter(i => names(i).equalsIgnoreCase(name)) match {
+          case Seq(i) => i
+          case Seq() => throw e
+          case many => throw new IllegalArgumentException(
+            s"ambiguous nested field '$name': matches " +
+              many.map(names).mkString(", "))
+        }
+    }
+
   /** Spark external-row value → Avro datum. */
   private def toAvro(v: Any, s: Schema): Any = v match {
     case null => null
@@ -173,7 +192,7 @@ object AvroCodec {
         // the positional contract.
         sch.getFields.asScala.foreach { f =>
           val value =
-            if (row.schema != null) row.get(row.fieldIndex(f.name))
+            if (row.schema != null) row.get(nestedFieldIndex(row, f.name))
             else row.get(f.pos)
           rec.put(f.pos, toAvro(value, f.schema))
         }

@@ -140,15 +140,23 @@ object Decontaminate {
     // three consumers (the sizing count, the bloom build, and the verify
     // join) — without this each re-runs the tokenize + distinct shuffle
     // over the benchmark corpus
-    val benchSh = graft.CachePolicy.materialize(
-      Dedup.shingles(bench, idCol, textCol, n)
-        .select(xxhash64(col("shingle")).as("__sh")).distinct())
+    val benchShPlan = Dedup.shingles(bench, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("__sh")).distinct()
+    val policy = graft.CachePolicy.resolve(benchShPlan)
+    val benchSh = policy.materialize(benchShPlan)
     val expected =
       if (expectedItems >= 0) math.max(expectedItems, 1L)
       else math.max(benchSh.count(), 1L)
     // one distributed pass over the benchmark shingles; the merged sketch
     // lands on the driver at sketch size (KB–MB), not set size
     val bf = benchSh.stat.bloomFilter("__sh", expected, fpp)
+    // both EAGER consumers (sizing count, bloom build) are done — release
+    // now rather than leaking session-lifetime blocks under persist-based
+    // policies. The lazy verify join below recomputes the (small by
+    // contract) benchmark distinct from lineage at action time under
+    // `memory_and_disk`; under `local`/`reliable` release is a no-op and
+    // the join reads the checkpointed blocks as before.
+    policy.release(benchSh)
     val mainMatches = Dedup.shingles(train, idCol, textCol, n, distinct = false)
       .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
       // map-side, codegen'd, zero-shuffle prefilter of the train stream

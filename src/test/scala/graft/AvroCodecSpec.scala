@@ -184,6 +184,22 @@ class AvroCodecSpec extends SparkTestBase {
       msgs(e).mkString(" | "))
   }
 
+  test("nested fields resolve case-insensitively, like the analyzer") {
+    // spark.sql.caseSensitive=false everywhere else: a struct field
+    // spelled "X" satisfies Avro field "x"; the encode path must agree
+    val schema =
+      """{"type":"record","name":"E","fields":[
+        |{"name":"id","type":"string"},
+        |{"name":"pt","type":{"type":"record","name":"Pt","fields":[
+        |{"name":"x","type":"double"},{"name":"y","type":"double"}]}}]}""".stripMargin
+    val df = Seq(("a", 2.0, 1.0)).toDF("id", "Y", "X")
+      .select(col("id"), struct(col("Y"), col("X")).as("pt"))
+    val decoded = AvroCodec.decode(
+      AvroCodec.encode(df, schema), "value", schema)
+    val row = decoded.select("pt.x", "pt.y").as[(Double, Double)].head()
+    assert(row == ((1.0, 2.0)), s"case-variant fields must resolve, got $row")
+  }
+
   test("general unions are rejected with a clear error") {
     val bad =
       """{"type":"record","name":"U","fields":[

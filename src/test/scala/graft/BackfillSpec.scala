@@ -155,6 +155,28 @@ class BackfillSpec extends SparkTestBase {
       === Array("2024/01/01", "2024/01/02"))
   }
 
+  test("sanitize-colliding partition values keep separate manifests and converge") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // "2024/01/01" sanitizes to "2024_01_01" — identical to the literal
+    // value "2024_01_01". Sharing one manifest file would make each run
+    // un-complete the other: a 'run until pending empty' driver loop never
+    // terminates. The digest suffix keeps the files distinct.
+    val ckpt = s"$tmp/ckpt_collide"
+    val out = s"$tmp/out_collide"
+    val src = Seq(
+      ("2024/01/01", "a", 1L), ("2024_01_01", "b", 2L)
+    ).toDF("grp", "k", "v")
+    val r1 = Backfill.run(spark, src, "grp", out, ckpt, (d: DataFrame) => d)
+    assert(r1.map(_.partition).sorted == Seq("2024/01/01", "2024_01_01"))
+    assert(Backfill.completedPartitions(ckpt).sorted ==
+      Seq("2024/01/01", "2024_01_01"))
+    // BOTH complete → re-run is a no-op, and stays one on a third pass
+    assert(Backfill.run(spark, src, "grp", out, ckpt, (d: DataFrame) => d).isEmpty)
+    assert(Backfill.run(spark, src, "grp", out, ckpt, (d: DataFrame) => d).isEmpty)
+    assert(Backfill.readOutput(spark, out).count() == 2)
+  }
+
   test("ledger reader tolerates format drift in the writer (field-level parse)") {
     import java.sql.Timestamp
     import graft.engine.Materialize

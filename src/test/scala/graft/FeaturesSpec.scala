@@ -159,6 +159,34 @@ class FeaturesSpec extends SparkTestBase {
     assert(math.abs(v - 5.0e9) < 1e5, s"var_w $v")
   }
 
+  test("tiling windowed long sum past bigint raises; avg stays exact") {
+    import java.sql.Timestamp
+    // two 5e18 values in one window: the exact decimal windowed sum is
+    // 1e19 > Long.MaxValue, so sum_w must RAISE (natively under ANSI, via
+    // the guard under non-ANSI) — while avg_w, computed from the same
+    // decimal IR, is perfectly representable and must come back correct
+    val big = 5000000000000000000L
+    val df = Seq(
+      ("c", Timestamp.valueOf("2026-01-01 00:00:10"), big),
+      ("c", Timestamp.valueOf("2026-01-01 00:01:00"), big)
+    ).toDF("conv_id", "ts", "v")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val agg = graft.agg.Tiling.tiledAggregate(df, Seq("conv_id"), "ts", "v",
+      hopSec = 300L, windowSec = 600L)
+    val e = intercept[Exception] { agg.select("sum_w").collect() }
+    assert(messages(e).exists(m => m.contains("overflows bigint") ||
+      m.contains("CAST_OVERFLOW") || m.toLowerCase.contains("overflow")),
+      s"expected loud bigint overflow, got: ${messages(e).mkString(" | ")}")
+    val a = agg.filter(col("count_w") === 2).select("avg_w").as[Double].head()
+    assert(math.abs(a - 5.0e18) < 1e4, s"avg_w $a")
+    // an avg_w-only projection must still carry the running-sum overflow
+    // guard — column pruning dropping sum_w must not drop the raise with it
+    assert(agg.select("conv_id", "avg_w")
+      .queryExecution.optimizedPlan.toString.contains("raise_error"),
+      "avg_w projection lost the running-sum overflow guard")
+  }
+
   test("unsupported aggregation function is rejected") {
     intercept[IllegalArgumentException] {
       Aggregations.aggColumn(Aggregation("x", "median"))
