@@ -476,6 +476,20 @@ object SparkEntry {
       sample.Sampling.stratifiedSample(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
         "doc_id", Seq("lang"), 0.2)),
+    // Source re-weighting (data mixing): src1 upsampled 2.25 epochs, src2
+    // halved, src3 dropped, everything else 1.0 — fractional epochs
+    // resolved per (id, copy) by md5 bucket; zero-shuffle narrow generate.
+    "sample_reweight" -> ((s, dir) =>
+      sample.Sampling.reweight(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src1" -> 2.25, "src2" -> 0.5, "src3" -> 0.0))),
+    // Deterministic seeded corpus shuffle: range-partitioned sort on an
+    // engine-portable md5 key (the training-order shuffle at 100 TB).
+    "sample_shuffle" -> ((s, dir) =>
+      sample.Sampling.shuffled(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+        "doc_id", seed = 42L)),
     // Concat-and-chunk sequence packing: deterministic md5 order in 16
     // hash-bucket substreams, 512-token context windows; emits the
     // (bucket, chunk, offset) manifest a trainer consumes.
@@ -1403,6 +1417,24 @@ object SparkEntry {
         |  (cum - 1) // 512 AS pack_last,
         |  (cum - n_tokens) % 512 AS pack_offset
         |FROM c""".stripMargin),
+    // cutoff hex literals = floor(frac(w)·65536) as %04x: 0.25→'4000',
+    // 0.5→'8000'; integral weights → '0000' (last candidate always drops)
+    "sample_reweight" -> withTables(
+      """, w AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src1' THEN 2.25 WHEN 'src2' THEN 0.5
+        |                WHEN 'src3' THEN 0.0 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |cand AS (SELECT doc_id, source, wt,
+        |    unnest(generate_series(0, CAST(floor(wt) AS BIGINT))) AS c FROM w)
+        |SELECT doc_id, source, c AS copy_idx FROM cand
+        |WHERE c < floor(wt)
+        |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 4) <
+        |      CASE source WHEN 'src1' THEN '4000' WHEN 'src2' THEN '8000'
+        |                  ELSE '0000' END""".stripMargin),
+    "sample_shuffle" -> withTables(
+      """SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+        |FROM documents""".stripMargin),
     "sample_stratified" -> withTables(
       """, r AS (
         |  SELECT doc_id, lang,

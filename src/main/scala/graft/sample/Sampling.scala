@@ -122,4 +122,48 @@ object Sampling {
       .filter(col("__rn") <= ceil(col("__n") * fraction))
       .select(df.columns.map(col): _*)
   }
+
+  /** Deterministic source re-weighting ("data mixing" / epoch
+    * upsampling): emit each row ⌊w⌋ or ⌈w⌉ times for its stratum's weight
+    * w, the fractional part resolved per (id, copy) by the same
+    * engine-portable md5 bucket as [[hashSplit]] — weight 2.25 yields
+    * exactly 2 copies for ~75 % of ids and 3 for ~25 %, stable across
+    * runs, engines, and partitionings. Weights < 1 downsample (0 or 1
+    * copies), 0 drops the stratum, ≥ 1 upsamples — the standard primitive
+    * for assembling a training corpus from heterogeneous sources at set
+    * mixture rates. Strata absent from `weights` take `default`.
+    *
+    * Output = input columns + `copy_idx` (0-based). Zero shuffles: a
+    * narrow generate + filter, so at 100 TB this is a pure map stage that
+    * chains into the downstream shuffle (packing, [[shuffled]]) for free.
+    */
+  def reweight(
+      df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double], default: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 10000),
+      "weights must be in [0, 10000]")
+    val w = coalesce(element_at(typedLit(weights), col(strataCol)), lit(default))
+    val wFloor = floor(w).cast("int")
+    // fractional-part cutoff in 65536 buckets; frac < 1 so cutoff ≤ 65535
+    val cutoff = floor((w - floor(w)) * 65536).cast("long")
+    val c = col("copy_idx")
+    val bucket = conv(substring(
+      md5(concat_ws(":", col(idCol).cast("string"), c.cast("string"))),
+      1, 4), 16, 10).cast("long")
+    df.select(col("*"), explode(sequence(lit(0), wFloor)).as("copy_idx"))
+      .filter(c < wFloor || bucket < cutoff)
+  }
+
+  /** Deterministic global shuffle for training order: a total order by a
+    * seeded per-row key, exposed as `shuffle_key` (md5 — engine-portable,
+    * so an oracle can reproduce the exact permutation). Spark executes
+    * this as a range-partitioned sort — sample ranges, one shuffle, sort
+    * within partitions — which IS the 100 TB corpus-shuffle plan; no
+    * single-partition window, no driver collect. Downstream sharded
+    * writers consume the order directly.
+    */
+  def shuffled(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))))
+      .orderBy(col("shuffle_key"), col(idCol))
 }

@@ -134,4 +134,48 @@ class SamplingSpec extends SparkTestBase {
     val got = packed.select(col("doc_id"), col("pack_offset").as("off"))
     assert(got.except(direct).isEmpty && direct.except(got).isEmpty)
   }
+
+  test("reweight: exact integral epochs, proportional fractional part, drop at 0") {
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val out = Sampling.reweight(docs, "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 2.25, "src2" -> 0.0), default = 1.0)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("src0") == 1500L, s"integral 3.0 → exactly 3 copies each, got $counts")
+    assert(counts.getOrElse("src2", 0L) == 0L, "weight 0 drops the stratum")
+    assert(counts("src3") == 500L, "unlisted stratum takes the default 1.0")
+    // 2.25 → between 2× and 3× per id, ~2.25× overall
+    assert(counts("src1") >= 1000L && counts("src1") <= 1500L)
+    assert(math.abs(counts("src1") - 1125L) < 80, s"~2.25×500, got ${counts("src1")}")
+    // per id: copy_idx is contiguous from 0 (a trainer can epoch-split on it)
+    val perId = out.filter(col("source") === "src1")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy_idx").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(perId.forall { case (_, n, mx) => mx == n - 1 && (n == 2 || n == 3) })
+    // deterministic under rerun
+    val again = Sampling.reweight(docs, "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 2.25, "src2" -> 0.0), default = 1.0)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // zero-shuffle narrow plan — the 100 TB contract
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "reweight must not shuffle")
+  }
+
+  test("shuffled: total deterministic order via range-partitioned sort") {
+    val docs = (0L until 5000L).toDF("doc_id").repartition(8)
+    val out = Sampling.shuffled(docs, "doc_id", seed = 42L)
+    val keys = out.select("shuffle_key").as[String].collect()
+    assert(keys.length == 5000 && keys.sameElements(keys.sorted),
+      "collected order must follow the shuffle key")
+    // a different seed is a different permutation; the same seed is identical
+    val same = Sampling.shuffled(docs, "doc_id", seed = 42L)
+      .select("doc_id").as[Long].collect()
+    val other = Sampling.shuffled(docs, "doc_id", seed = 7L)
+      .select("doc_id").as[Long].collect()
+    assert(same.sameElements(out.select("doc_id").as[Long].collect()))
+    assert(!other.sameElements(same) && other.sorted.sameElements(same.sorted))
+    // the plan is a range-partitioned sort (scale path), not a
+    // single-partition window or coalesce
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range sort, got:\n$plan")
+  }
 }
