@@ -514,6 +514,13 @@ object SparkEntry {
       text.Curation.curate(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", lang = "en", minChars = 50)
         .select(col("doc_id"))),
+    // Full training-prep pipeline: curate → fractional-epoch source
+    // re-weighting → tokenize once per doc → packed context-window
+    // manifest (packing's md5 order doubles as the corpus shuffle).
+    "pipeline_train_prep" -> ((s, dir) =>
+      text.Curation.trainPrep(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source", lang = "en", minChars = 50,
+        weights = Map("src1" -> 2.25, "src2" -> 0.5, "src3" -> 0.0))),
     "text_tokens" -> ((s, dir) =>
       text.TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
@@ -1387,6 +1394,41 @@ object SparkEntry {
       s"""${clusterChainSql(curatedDocsSql)}
          |SELECT d.doc_id FROM docs d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)""".stripMargin,
+    // curate chain → reweight (same cutoff hexes as sample_reweight) →
+    // per-doc token count → 16-bucket 512-token pack manifest (the bucket
+    // equals the 8th md5 hex digit, as in sample_pack's oracle)
+    "pipeline_train_prep" ->
+      s"""${clusterChainSql(curatedDocsSql)},
+         |kept AS (SELECT d.doc_id, d.text FROM docs d
+         |         WHERE d.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)),
+         |cnt AS (SELECT k.doc_id, s.source,
+         |          CAST(len(regexp_extract_all(k.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+         |        FROM kept k JOIN documents s USING (doc_id)
+         |        WHERE len(regexp_extract_all(k.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) > 0),
+         |w AS (SELECT doc_id, source, n_tokens,
+         |        CASE source WHEN 'src1' THEN 2.25 WHEN 'src2' THEN 0.5
+         |                    WHEN 'src3' THEN 0.0 ELSE 1.0 END AS wt
+         |      FROM cnt),
+         |cand AS (SELECT doc_id, source, n_tokens, wt,
+         |           unnest(generate_series(0, CAST(floor(wt) AS BIGINT))) AS c FROM w),
+         |rw AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR) AS pack_id, n_tokens
+         |       FROM cand
+         |       WHERE c < floor(wt)
+         |          OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 4) <
+         |             CASE source WHEN 'src1' THEN '4000' WHEN 'src2' THEN '8000'
+         |                         ELSE '0000' END),
+         |bkt AS (SELECT pack_id, n_tokens, md5(pack_id) AS key,
+         |          CAST(strpos('0123456789abcdef', substr(md5(pack_id), 8, 1)) - 1 AS INT) AS bucket
+         |        FROM rw),
+         |cum AS (SELECT pack_id, n_tokens, bucket,
+         |          CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY key, pack_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM bkt)
+         |SELECT pack_id, n_tokens, bucket,
+         |  (cum - n_tokens) // 512 AS pack_first,
+         |  (cum - 1) // 512 AS pack_last,
+         |  (cum - n_tokens) % 512 AS pack_offset
+         |FROM cum""".stripMargin,
     "text_top_ngrams" -> withTables(
       """, tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM tok),

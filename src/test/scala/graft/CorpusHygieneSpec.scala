@@ -200,5 +200,46 @@ class CorpusHygieneSpec extends SparkTestBase {
       s"benchmark side should broadcast:\n$plan")
   }
 
+  test("trainPrep: filters + dedup + epoch mixing + gap-free pack manifest") {
+    import graft.text.Curation
+    val base = (0L until 200L).map { i =>
+      val tail = (0 until 12).map(j => s"w${(i * 31 + j * 7) % 997}").mkString(" ")
+      (i, s"the and of document number $i says $tail", s"src${i % 4}")
+    }
+    val dupText = "the and of duplicated text " + (0 until 30).map(j => s"d$j").mkString(" ")
+    val docs = (base ++ Seq(
+      (900L, dupText, "src0"), (901L, dupText + " x", "src1"), // near-dup pair
+      (950L, "el los y " * 30, "src0"),                        // Spanish
+      (951L, "the and of", "src0"))                            // too short
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.trainPrep(docs, "doc_id", "text", "source",
+      lang = "en", minChars = 50,
+      weights = Map("src1" -> 2.25, "src2" -> 0.5, "src3" -> 0.0))
+    val ids = out.select(
+      split(col("pack_id"), ":").getItem(0).cast("long").as("id"),
+      split(col("pack_id"), ":").getItem(1).cast("int").as("c"))
+    val perId = ids.groupBy("id").agg(count(lit(1)).as("n"), max("c").as("mx"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!perId.contains(950L) && !perId.contains(951L),
+      "non-English and sub-minChars docs must be filtered")
+    assert(perId.contains(900L) != perId.contains(901L),
+      "the near-dup pair must collapse to one canonical doc")
+    val baseIds = perId.keySet.filter(_ < 200L)
+    assert(baseIds.filter(_ % 4 == 3).isEmpty, "src3 (weight 0) dropped")
+    assert(baseIds.filter(_ % 4 == 0).forall(perId(_)._1 == 1L),
+      "default-weight docs appear exactly once")
+    assert(baseIds.filter(_ % 4 == 1).forall(i => Seq(2L, 3L).contains(perId(i)._1)),
+      "2.25-epoch docs appear 2 or 3 times")
+    assert(perId.forall { case (_, (n, mx)) => mx == n - 1 },
+      "copy_idx contiguous from 0 per doc")
+    // the manifest tiles each bucket's token stream with no gaps/overlaps
+    val rows = out.as[(String, Long, Int, Long, Long, Long)].collect()
+    rows.groupBy(_._3).foreach { case (b, ds) =>
+      val total = ds.map(_._2).sum
+      val lastEnd = ds.map { case (_, n, _, f, _, off) => f * 512 + off + n }.max
+      assert(lastEnd == total, s"bucket $b stream must be gap-free")
+    }
+  }
+
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 }
