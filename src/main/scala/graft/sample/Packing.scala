@@ -56,7 +56,14 @@ object Packing {
         coalesce(t.cast("string"), lit("NULL")),
         lit(s" for $idCol="), col(idCol).cast("string"))).cast("long"))
     }
+    // explicit ROWS frame: the default for an ordered window is RANGE,
+    // which sums ALL order-key peers into each row's cumulative — two rows
+    // sharing an id would each absorb the other's tokens and overlap every
+    // later window in the bucket, silently. Under ROWS, duplicate-id rows
+    // still tile the stream gap-free (their mutual order is arbitrary but
+    // the output multiset is identical either way).
     val w = Window.partitionBy(col("bucket")).orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), nTokens.as("n_tokens"),
         key.as("__key"), bucket.as("bucket"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))

@@ -142,13 +142,24 @@ object Sampling {
       weights: Map[String, Double], default: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 10000),
       "weights must be in [0, 10000]")
+    // same loud sub-granularity contract as hashSample: a fractional part
+    // below 1/65536 would silently truncate to the integral weight
+    (weights.values ++ Seq(default)).foreach { w =>
+      val frac = w - math.floor(w)
+      require(frac == 0.0 || frac * 65536 >= 1.0,
+        s"weight $w has a fractional part below the 1/65536 bucket granularity")
+    }
     val w = coalesce(element_at(typedLit(weights), col(strataCol)), lit(default))
     val wFloor = floor(w).cast("int")
     // fractional-part cutoff in 65536 buckets; frac < 1 so cutoff ≤ 65535
     val cutoff = floor((w - floor(w)) * 65536).cast("long")
     val c = col("copy_idx")
+    // concat, NOT concat_ws: a NULL id must yield a NULL key (dropping the
+    // fractional copy, matching SQL-engine semantics) — concat_ws would
+    // silently skip the NULL and hash the bare copy index, giving every
+    // NULL-id row in a stratum the same correlated verdict
     val bucket = conv(substring(
-      md5(concat_ws(":", col(idCol).cast("string"), c.cast("string"))),
+      md5(concat(col(idCol).cast("string"), lit(":"), c.cast("string"))),
       1, 4), 16, 10).cast("long")
     df.select(col("*"), explode(sequence(lit(0), wFloor)).as("copy_idx"))
       .filter(c < wFloor || bucket < cutoff)
@@ -163,7 +174,10 @@ object Sampling {
     * writers consume the order directly.
     */
   def shuffled(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    // concat (NULL-propagating), not concat_ws: a NULL id gets a NULL key
+    // (sorted together, matching an oracle's NULL) instead of every
+    // NULL-id row colliding onto md5("<seed>") with a NULL tiebreak
     df.withColumn("shuffle_key",
-        md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))))
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .orderBy(col("shuffle_key"), col(idCol))
 }

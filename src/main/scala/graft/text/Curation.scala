@@ -70,8 +70,7 @@ object Curation {
     val kept = curate(df, idCol, textCol, lang, minChars, n, threshold, useLsh)
     val counted = kept.select(
       col(idCol), col(sourceCol),
-      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
-        .cast("long").as("n_tokens"))
+      TextAnalysis.bpeTokenCount(col(textCol)).cast("long").as("n_tokens"))
       // a doc that tokenizes to nothing (possible only for degenerate
       // whitespace text) has no place in a pack stream — drop it here
       // rather than trip packSequences' positive-count contract

@@ -55,11 +55,21 @@ object TextAnalysis {
     * byte-pair pre-tokenizer produces). Output (id, n_ws_tokens,
     * n_bpe_tokens, n_chars).
     */
+  /** The BPE-ish pre-tokenizer definition — single source of truth shared
+    * by [[tokenCounts]] and [[Curation.trainPrep]] (and mirrored verbatim
+    * in the DuckDB oracles).
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token count under [[BpeTokenPattern]]. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
       size(split(col(textCol), " +")).as("n_ws_tokens"),
-      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).as("n_bpe_tokens"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"),
       length(col(textCol)).as("n_chars"))
 
   /** Quality score per document: length, punctuation ratio, stopword ratio,

@@ -160,6 +160,37 @@ class SamplingSpec extends SparkTestBase {
       "reweight must not shuffle")
   }
 
+  test("reweight: NULL ids resolve like SQL (fractional copy dropped), sub-granularity weights loud") {
+    val docs = Seq((Some(1L), "a"), (Some(2L), "a"), (None, "a"), (None, "a"))
+      .toDF("doc_id", "source")
+    val out = Sampling.reweight(docs, "doc_id", "source", Map("a" -> 2.5))
+    // NULL id: md5 key is NULL, bucket < cutoff is NULL → exactly the
+    // integral 2 copies, same as an engine evaluating NULL || ':' || c
+    val nullCounts = out.filter(col("doc_id").isNull).count()
+    assert(nullCounts == 4L, s"2 NULL-id rows × floor(2.5) copies, got $nullCounts")
+    // a fractional part below 1/65536 is rejected, not silently truncated
+    intercept[IllegalArgumentException] {
+      Sampling.reweight(docs, "doc_id", "source", Map("a" -> 1.000001))
+    }
+  }
+
+  test("packSequences: duplicate-id rows still tile the bucket stream gap-free") {
+    val docs = Seq((7L, 100L), (7L, 100L), (9L, 50L)).toDF("doc_id", "n_tok")
+    val packed = sample.Packing.packSequences(docs, "doc_id", "n_tok",
+      capacity = 128L, numBuckets = 1)
+    val rows = packed.as[(Long, Long, Int, Long, Long, Long)].collect()
+    assert(rows.length == 3)
+    // under the default RANGE frame the two id-7 peers would each absorb
+    // the other's tokens (__cum = 200 for both) and overlap; under ROWS
+    // the stream is a gap-free tiling of 250 tokens
+    val total = rows.map(_._2).sum
+    val starts = rows.map { case (_, n, _, f, _, off) => f * 128 + off }.sorted
+    val ends = rows.map { case (_, n, _, f, _, off) => f * 128 + off + n }.sorted
+    assert(starts.head == 0 && ends.last == total &&
+      starts.tail.sameElements(ends.init),
+      s"stream must tile [0, $total) without gaps or overlaps: ${rows.mkString(";")}")
+  }
+
   test("shuffled: total deterministic order via range-partitioned sort") {
     val docs = (0L until 5000L).toDF("doc_id").repartition(8)
     val out = Sampling.shuffled(docs, "doc_id", seed = 42L)
