@@ -74,6 +74,7 @@ object Backfill {
       .collect()
       .map(_.getString(0))
       .sorted
+      .toIndexedSeq
     val pending = partitions.filterNot(p => isComplete(checkpointDir, p))
 
     pending.take(maxPartitions).map { p =>

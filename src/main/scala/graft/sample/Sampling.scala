@@ -120,7 +120,7 @@ object Sampling {
       .join(offsets, joinCond)
       .withColumn("__rn", col("__offset") + row_number().over(localW))
       .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Deterministic source re-weighting ("data mixing" / epoch
