@@ -191,6 +191,13 @@ object Historical {
       fullFeatureNames: Boolean = false
   ): DataFrame = {
     val keyCols = views.head.joinKeys
+    // the universe unions every view's keys POSITIONALLY into keyCols —
+    // meaningful only when all views share the same join keys; fail here
+    // with the actual mismatch instead of misfiling another view's key
+    // values (same-arity) or an opaque toDF error (different-arity)
+    views.foreach(v => require(v.joinKeys == keyCols,
+      s"non-entity retrieval requires all views to share join keys: " +
+        s"'${v.name}' has ${v.joinKeys.mkString(",")}, expected ${keyCols.mkString(",")}"))
     val universe = views
       .map(v => v.mappedSource.select(v.joinKeys.map(k => col(k).cast("string")): _*)
         .toDF(keyCols: _*))

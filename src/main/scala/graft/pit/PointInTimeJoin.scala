@@ -92,13 +92,19 @@ object PointInTimeJoin {
   ): (DataFrame, DataFrame) = {
     val keys = view.joinKeys
     val feats = view.resolvedFeatures
-    val mapped = view.fieldMapping.foldLeft(view.source) {
-      case (df, (src, dst)) => df.withColumnRenamed(src, dst)
-    }
     val neededCols =
       (keys :+ view.tsCol) ++ view.createdTsCol.toSeq ++ feats ++
         view.tieBreakCols ++ view.datePartitionCol.toSeq
-    var src = mapped.select(neededCols.distinct.map(col): _*)
+    var src = view.mappedSource.select(neededCols.distinct.map(col): _*)
+    // SQL join semantics for NULL keys, on BOTH physical strategies: a
+    // null-key source row matches no probe (NULL = NULL is never true in
+    // the reference's join template), so drop it here — otherwise the
+    // merge path's window partitioning would group null keys together and
+    // attach features the join path (and the reference) never would. A
+    // null-key PROBE row still flows through and comes back with null
+    // features (left-join semantics). Also a free scan predicate.
+    if (keys.nonEmpty)
+      src = src.filter(keys.map(col(_).isNotNull).reduce(_ && _))
 
     val bounds: Row = precomputedBounds.getOrElse(entityBounds(entityDf, entityTsCol))
     val lowerTs =
@@ -109,6 +115,17 @@ object PointInTimeJoin {
       src = src.filter(col(view.tsCol) <= lit(bounds.get(1)))
     lowerTs.foreach(lo => src = src.filter(col(view.tsCol) >= lo))
     view.datePartitionCol.foreach { dpc =>
+      // the pruning below compares partition STRINGS — chronological only
+      // for year-first, most-significant-first formats; "MM-dd-yyyy" would
+      // silently prune QUALIFYING partitions (December sorts above January
+      // of the next year), returning null features with no error
+      val sig = "yMdHms"
+      val order = view.datePartitionFormat.filter(sig.contains(_)).distinct
+      require(order.nonEmpty && order.head == 'y' &&
+        sig.filter(order.contains(_)) == order,
+        s"datePartitionFormat '${view.datePartitionFormat}' is not " +
+          "most-significant-first (year, month, day, …); lexicographic " +
+          "partition pruning would silently drop qualifying partitions")
       if (!bounds.isNullAt(1))
         src = src.filter(
           col(dpc) <= date_format(lit(bounds.get(1)), view.datePartitionFormat))

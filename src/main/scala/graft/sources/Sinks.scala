@@ -29,24 +29,32 @@ object Sinks {
     // target field "id" everywhere else in Spark, so the sink must accept
     // it too (output uses the target's spelling). Ambiguity ("id" + "ID"
     // both present) fails loudly rather than picking one.
-    val byName = df.schema.fields.groupBy(_.name.toLowerCase).map {
-      case (lc, fields) => lc -> fields.toSeq
+    // Locale.ROOT: the JVM default locale must not affect resolution (a
+    // Turkish locale lowercases "ID" to dotless-ı and the lookup misses a
+    // column Spark's own analyzer resolves fine)
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val byName = df.schema.fields.groupBy(f => lc(f.name)).map {
+      case (k, fields) => k -> fields.toSeq
     }
+    // backtick-quoted resolution: bare col()/df() parse dots as
+    // nested-field access, so a top-level column literally named
+    // "user.id" (legal in parquet) would fail to resolve
+    def q(name: String) = col("`" + name.replace("`", "``") + "`")
     val cols = target.fields.map { f =>
-      val matches = byName.getOrElse(f.name.toLowerCase,
+      val matches = byName.getOrElse(lc(f.name),
         throw new IllegalArgumentException(s"missing column ${f.name} for sink schema"))
       require(matches.size == 1,
         s"ambiguous column ${f.name} for sink schema: " +
           matches.map(_.name).mkString(","))
       val src = matches.head
       (src.dataType, f.dataType) match {
-        case (_: StructType, StringType) => to_json(col(src.name)).as(f.name)
-        case (_: MapType, StringType)    => to_json(col(src.name)).as(f.name)
+        case (_: StructType, StringType) => to_json(q(src.name)).as(f.name)
+        case (_: MapType, StringType)    => to_json(q(src.name)).as(f.name)
         // arrays targeting STRING must serialize as JSON too — cast()
         // renders Spark's non-JSON '[{1, a}]' text
-        case (_: ArrayType, StringType)  => to_json(col(src.name)).as(f.name)
-        case (a, t) if a == t            => col(src.name).as(f.name)
-        case (_, t)                      => col(src.name).cast(t).as(f.name)
+        case (_: ArrayType, StringType)  => to_json(q(src.name)).as(f.name)
+        case (a, t) if a == t            => q(src.name).as(f.name)
+        case (_, t)                      => q(src.name).cast(t).as(f.name)
       }
     }
     df.select(cols.toIndexedSeq: _*)

@@ -28,10 +28,18 @@ object StreamIngest {
   /** Kafka-style decode: a `value` byte/string column of JSON → typed
     * columns (reference `_ingest_stream_data`,
     * spark_kafka_processor.py:106-130; F4 `from_json`).
+    *
+    * Default is FAILFAST: a malformed message raises instead of becoming a
+    * silent all-null row that flows into the store indistinguishable from
+    * data (from_json's PERMISSIVE default). `permissive = true` restores
+    * drop-nothing decoding for pipelines that quarantine downstream.
     */
-  def decodeJson(stream: DataFrame, schema: StructType): DataFrame =
+  def decodeJson(stream: DataFrame, schema: StructType,
+                 permissive: Boolean = false): DataFrame =
     stream
-      .select(from_json(col("value").cast("string"), schema).as("__r"))
+      .select(from_json(col("value").cast("string"), schema,
+        if (permissive) Map.empty[String, String]
+        else Map("mode" -> "FAILFAST")).as("__r"))
       .select(col("__r.*"))
 
   /** Kafka-style decode, Avro branch (reference `message_format=avro`,
@@ -92,10 +100,16 @@ object StreamIngest {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // idempotent under micro-batch REPLAY: a crash between this write
+        // and the checkpoint commit re-runs the batch with the same
+        // batchId — a flat mode("append") would duplicate every replayed
+        // row in the store. Each batch owns its partition directory, so
+        // the replay overwrites its own previous (possibly partial)
+        // output and nothing else; readers see `batch_id` as a partition
+        // column via discovery, exactly as the data column read before.
         latestPerKeyBatch(batch, keys, tsCol, tieBreakCols,
           createdTsForBatch(batchId))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         ()
       }
       .start()

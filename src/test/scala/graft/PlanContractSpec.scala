@@ -126,8 +126,15 @@ class PlanContractSpec extends SparkTestBase {
     }.toDF("conv_id", "event_ts")
     val view = FeatureView("turns", src, Seq("conv_id"), "ts",
       ttlSeconds = 3600L, features = Seq("turn_idx"))
-    val plan = pit.PointInTimeJoin.enrich(entity, view)
-      .queryExecution.executedPlan.toString
+    // widen metadata rendering: the default 100-char truncation clips the
+    // PushedFilters list (it now also carries the null-key IsNotNulls)
+    // before the ts bounds this contract greps for
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val plan = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      pit.PointInTimeJoin.enrich(entity, view)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     val scanLine = plan.linesIterator.find(l =>
       l.contains("FileScan parquet") && l.contains("turn_idx"))
     assert(scanLine.isDefined, plan)

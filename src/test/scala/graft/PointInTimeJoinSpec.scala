@@ -239,4 +239,44 @@ class PointInTimeJoinSpec extends SparkTestBase {
       sequential.collect().map(rowKey).sorted.toSeq)
     assert(fused.count() == slimEnts.count())
   }
+
+  test("NULL join keys behave like SQL on every physical strategy") {
+    // a NULL-key source row matches nothing; a NULL-key probe row comes
+    // back with null features — and the slim merge, non-slim merge, and
+    // salted join must all agree (the merge's window partitioning would
+    // naively group NULLs together and attach features the join never would)
+    val src = Seq[(String, Timestamp, Long)](
+      ("c1", ts("2026-01-01 01:00:00"), 1L),
+      (null, ts("2026-01-01 01:00:00"), 99L)
+    ).toDF("conv_id", "ts", "turn_idx")
+    val v = FeatureView("nv", src, Seq("conv_id"), "ts", None, 0L,
+      features = Seq("turn_idx"), tieBreakCols = Seq("turn_idx"))
+    val ents = Seq[(String, Timestamp)](("c1", ts("2026-01-01 02:00:00")),
+      (null, ts("2026-01-01 02:00:00")))
+      .toDF("conv_id", "event_ts")
+    def values(df: org.apache.spark.sql.DataFrame): Seq[(String, Any)] =
+      df.select(col("conv_id"), col("turn_idx")).collect()
+        .map(r => (r.getAs[String](0), r.get(1))).sortBy(x => String.valueOf(x._1)).toSeq
+    val slim = values(PointInTimeJoin.enrichMerge(ents, v, "event_ts"))
+    val nonSlim = values(PointInTimeJoin.enrichMerge(
+      ents.withColumn("extra", lit(1)), v, "event_ts"))
+    val salted = values(PointInTimeJoin.enrichJoin(ents, v, "event_ts",
+      saltBuckets = 4))
+    assert(slim == nonSlim && slim == salted, s"$slim vs $nonSlim vs $salted")
+    assert(slim.collect { case (null, f) => f } == Seq(null),
+      "a NULL-key probe must get null features, never the null-key source row")
+    assert(slim.collect { case ("c1", f) => f } == Seq(1L))
+  }
+
+  test("non-most-significant-first datePartitionFormat is rejected loudly") {
+    val src = spark.createDataset(turns).toDF()
+      .withColumn("pdate", date_format(col("ts"), "MM-dd-yyyy"))
+    val v = FeatureView("pv", src, Seq("conv_id"), "ts", None, 0L,
+      features = Seq("turn_idx"), tieBreakCols = Seq("turn_idx"),
+      datePartitionCol = Some("pdate"), datePartitionFormat = "MM-dd-yyyy")
+    val e = intercept[IllegalArgumentException] {
+      PointInTimeJoin.enrich(entityDf, v, "event_ts").collect()
+    }
+    assert(e.getMessage.contains("most-significant-first"), e.getMessage)
+  }
 }

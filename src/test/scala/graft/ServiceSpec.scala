@@ -56,4 +56,23 @@ class ServiceSpec extends SparkTestBase {
     assert(k2.getLong(2) == 2L,
       "view b's k2 feature must survive even though view a lacks the key")
   }
+
+  test("nonEntityRetrieval rejects views with mismatched join keys upfront") {
+    import java.sql.Timestamp
+    val a = Seq(("u1", Timestamp.valueOf("2026-01-01 00:00:00"), 1L))
+      .toDF("user_id", "ts", "v")
+    val b = Seq(("a1", Timestamp.valueOf("2026-01-01 00:00:00"), 2L))
+      .toDF("account_id", "ts", "w")
+    val va = FeatureView("va", a, Seq("user_id"), "ts", None, 0L,
+      features = Seq("v"), tieBreakCols = Seq("v"))
+    val vb = FeatureView("vb", b, Seq("account_id"), "ts", None, 0L,
+      features = Seq("w"), tieBreakCols = Seq("w"))
+    // without the guard, vb's account ids would be silently misfiled into
+    // the user_id universe column (same arity, positional toDF rename)
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Historical.nonEntityRetrieval(Seq(va, vb),
+        Timestamp.valueOf("2026-01-02 00:00:00"))
+    }
+    assert(e.getMessage.contains("share join keys"), e.getMessage)
+  }
 }

@@ -51,6 +51,28 @@ class SinksSpec extends SparkTestBase {
     assert(e.getMessage.contains("ambiguous"))
   }
 
+  test("align is locale-independent and handles dotted column names") {
+    // Turkish locale: default-locale toLowerCase turns "ID" into dotless-ı
+    // and the lookup would miss a column Spark itself resolves fine
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val df = Seq((1L, "x")).toDF("ID", "c")
+      val target = StructType(Seq(
+        StructField("id", LongType), StructField("c", StringType)))
+      val aligned = Sinks.alignToSchema(df, target)
+      assert(aligned.as[(Long, String)].head() == ((1L, "x")))
+    } finally java.util.Locale.setDefault(prev)
+    // a top-level column literally named "user.id" (legal in parquet) must
+    // resolve as itself, not as nested-field access
+    val dotted = Seq((7L, "y")).toDF("user.id", "c")
+    val target2 = StructType(Seq(
+      StructField("user.id", LongType), StructField("c", StringType)))
+    val out = Sinks.alignToSchema(dotted, target2)
+    assert(out.schema.fieldNames.toSeq == Seq("user.id", "c"))
+    assert(out.select(col("`user.id`")).as[Long].head() == 7L)
+  }
+
   test("foreachPartition sink streams every row through the writer") {
     SinksSpec.written.clear()
     val df = Transcripts.synthetic(spark, nConvs = 5, turnsPerConv = 8, seed = 2L)

@@ -175,4 +175,23 @@ class StreamIngestSpec extends SparkTestBase {
         "conv_id STRING, turn_idx INT, ts TIMESTAMP"))
     assert(decoded.columns.toSeq == Seq("conv_id", "turn_idx", "ts"))
   }
+
+  test("decodeJson fails loudly on malformed messages; permissive opts out") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "conv_id STRING, turn_idx INT")
+    val vals = Seq("""{"conv_id":"c1","turn_idx":3}""", """not json at all""")
+      .toDF("value")
+    // default: a corrupt message raises instead of becoming a silent
+    // all-null row indistinguishable from data
+    val e = intercept[Exception] {
+      StreamIngest.decodeJson(vals, schema).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("MALFORMED") || m.contains("FAILFAST")
+      || m.toLowerCase.contains("malformed")), msgs(e).mkString(" | "))
+    // permissive mode restores drop-nothing decoding (null row for garbage)
+    val rows = StreamIngest.decodeJson(vals, schema, permissive = true).collect()
+    assert(rows.length == 2 && rows.count(_.isNullAt(0)) == 1)
+  }
 }
