@@ -1356,7 +1356,7 @@ object SparkEntry {
         |FROM sess""".stripMargin),
 
     "dedup_exact" -> withTables(
-      """, h AS (SELECT doc_id, md5(text) AS content_hash FROM documents
+      """, h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents
         |        WHERE text IS NOT NULL),
         |g AS (SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS c
         |      FROM h GROUP BY 1)
@@ -1429,9 +1429,12 @@ object SparkEntry {
          |  (cum - 1) // 512 AS pack_last,
          |  (cum - n_tokens) % 512 AS pack_offset
          |FROM cum""".stripMargin,
+    // only docs with >= 3 words contribute (padShort=false: a bare word
+    // is not a 3-gram and must not enter the frequency profile)
     "text_top_ngrams" -> withTables(
       """, tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM tok),
+        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |        FROM tok WHERE len(ws) >= 3),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM idx)
         |SELECT g AS shingle, count(*) AS doc_freq FROM sh
         |GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin),

@@ -151,14 +151,18 @@ object Ann {
     // tables × bits) instead of tables × bits composed dots, which blow the
     // 64 KB generated-method limit at strengthened table counts and knock
     // the stage back to interpreted eval
-    def withBuckets(df: DataFrame, idC: String, vecC: String): DataFrame = {
+    def withBuckets(df: DataFrame, idC: String, vecC: String,
+                    normC: String): DataFrame = {
       val v = col(vecC).cast("array<double>")
-      df.select(col(idC), v.as(vecC),
+      // norm computed ONCE per input row, not per candidate collision —
+      // cosine() per joined row would pay 3 dim-length dots per pair per
+      // colliding table (the sibling brute-force/IVF paths precompute too)
+      df.select(col(idC), v.as(vecC), norm(v).as(normC),
           posexplode(graft.functions.VectorFunctions.signBuckets(v, hp))
             .as(Seq("t", "b")))
     }
-    val qb = withBuckets(queries, "q_id", "q_vec")
-    val cb = withBuckets(corpus, "c_id", "c_vec")
+    val qb = withBuckets(queries, "q_id", "q_vec", "__qn")
+    val cb = withBuckets(corpus, "c_id", "c_vec", "__cn")
     // score BEFORE the candidate dedup: a pair colliding in k tables is
     // scored k times (cheap — one codegen'd dot each), but the dedup
     // shuffle then carries (q_id, c_id, sim) instead of two dim-length
@@ -168,7 +172,7 @@ object Ann {
     val scored = qb.join(cb, Seq("t", "b"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_vec"), col("c_vec")).as("sim"))
+        simExpr(dot(col("q_vec"), col("c_vec")), col("__qn"), col("__cn")).as("sim"))
       .dropDuplicates("q_id", "c_id")
     topK(scored, k)
   }
@@ -354,7 +358,15 @@ object Ann {
       corpusRowsHint: Option[Long] = None
   ): DataFrame = {
     requireSameDim(queries, "q_vec", corpus, "c_vec")
+    // exclude NULL vectors (and vectors with NULL elements) from the index
+    // and training: they can never yield a defined cosine — the brute-force
+    // and LSH paths end at the same place via topK's null-sim filter, but
+    // here an unguarded null would NPE inside driver-side centroid math,
+    // killing the job instead of degrading
+    def usable(v: Column): Column =
+      v.isNotNull && !exists(v, x => x.isNull)
     val c = corpus.select(col("c_id"), col("c_vec").cast("array<double>").as("c_vec"))
+      .filter(usable(col("c_vec")))
     val q = queries.select(col("q_id"), col("q_vec").cast("array<double>").as("q_vec"))
     val centroids = trainCentroids(c, nlist, lloydIters,
       corpusRowsHint = corpusRowsHint)

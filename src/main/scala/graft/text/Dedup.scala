@@ -29,20 +29,27 @@ object Dedup {
     * char-3-grams of natural text collide on nearly every pair.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
-               distinct: Boolean = true): DataFrame = {
+               distinct: Boolean = true, padShort: Boolean = true): DataFrame = {
     val toks = split(col(textCol), " ")
     // NULL text is missing content: emitting the otherwise-branch's
     // array(NULL) shingle would make every NULL-text doc collide with every
     // other (xxhash64(NULL) is a constant), e.g. flagging all NULL-text
     // train docs as contaminated by one NULL-text benchmark doc — mirror
-    // exactDuplicates and emit nothing
+    // exactDuplicates and emit nothing.
+    // padShort: docs shorter than n words emit their whole text as one
+    // pseudo-shingle — right for dedup/Jaccard (a short doc must still be
+    // comparable), wrong for n-gram FREQUENCY statistics (a one-word doc
+    // is not a 3-gram) — topNgrams passes false
+    val shortCase =
+      if (padShort) array(array_join(toks, " "))
+      else typedLit(Seq.empty[String])
     val sh = df.filter(col(textCol).isNotNull).select(
       col(idCol),
       explode(
         when(size(toks) >= n,
           transform(sequence(lit(0), size(toks) - n),
             i => array_join(slice(toks, i + 1, lit(n)), " ")))
-          .otherwise(array(array_join(toks, " ")))).as("shingle"))
+          .otherwise(shortCase)).as("shingle"))
     // distinct = a full shuffle of every shingle; callers that filter the
     // stream first (e.g. Decontaminate's broadcast semi-join) dedup later,
     // on the much smaller surviving set
@@ -56,8 +63,11 @@ object Dedup {
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // NULL text is missing content, not shared content — grouping NULL
     // hashes would report unrelated empty docs as duplicates of each other
+    // sha-256, not md5: "exact" must mean exact — chosen-prefix md5
+    // collisions are publicly constructible, so an adversarial web corpus
+    // could get a unique document silently deleted as a "duplicate"
     df.filter(col(textCol).isNotNull)
-      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .select(col(idCol), sha2(col(textCol), 256).as("content_hash"))
       .withColumn("canonical_id",
         min(col(idCol)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
@@ -225,9 +235,11 @@ object Dedup {
       .select("a", "b")
       .distinct()
 
-    // exact verification of candidates only
-    val aSh = sh.toDF("a", "shingle")
-    val bSh = sh.toDF("b", "shingle")
+    // exact verification of candidates only — resolve by NAME, not
+    // position: `sh` is caller-supplied, and a frame with the right names
+    // in swapped order would silently join shingle strings as doc ids
+    val aSh = sh.select(col(idCol).as("a"), col("shingle"))
+    val bSh = sh.select(col(idCol).as("b"), col("shingle"))
     val inter = candidates
       .join(aSh, "a").join(bSh, Seq("b", "shingle"))
       .groupBy(col("a"), col("b"))

@@ -159,7 +159,10 @@ object TextAnalysis {
     */
   def topNgrams(df: DataFrame, idCol: String, textCol: String,
                 n: Int, k: Int): DataFrame =
-    Dedup.shingles(df, idCol, textCol, n)
+    // padShort = false: the frequency profile must contain only true
+    // n-grams — the dedup paths' whole-text pseudo-shingle for short docs
+    // would let bare words dominate a "top 3-grams" list
+    Dedup.shingles(df, idCol, textCol, n, padShort = false)
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("shingle").asc)

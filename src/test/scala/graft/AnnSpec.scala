@@ -142,6 +142,22 @@ class AnnSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"zero vector must not pair: $pairs")
   }
 
+  test("IVF degrades gracefully on NULL vectors and NULL elements") {
+    // a NULL c_vec (or a vector with a NULL element) previously NPE'd the
+    // driver-side centroid math; it must be excluded like a zero-norm
+    // vector, with the real neighbors unaffected
+    val c = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.0)), (2L, Seq[java.lang.Double](0.9, 0.1)),
+      (3L, Seq[java.lang.Double](0.8, 0.2)),
+      (97L, null.asInstanceOf[Seq[java.lang.Double]]),
+      (98L, Seq[java.lang.Double](1.0, null))
+    ).toDF("c_id", "c_vec")
+    val q = Seq((1L, Seq(1.0, 0.0))).toDF("q_id", "q_vec")
+    val top = Ann.ivfTopK(q, c, k = 5, nlist = 2, nprobe = 2)
+      .select("c_id").as[Long].collect().toSet
+    assert(top == Set(2L, 3L), s"null vectors must be excluded, got $top")
+  }
+
   test("declared dim mismatch fails loudly instead of degenerating LSH") {
     val c = Seq((1L, Array.fill(8)(0.5f))).toDF("c_id", "c_vec")
     val q = Seq((2L, Array.fill(8)(0.5f))).toDF("q_id", "q_vec")

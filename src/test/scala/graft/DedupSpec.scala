@@ -181,4 +181,20 @@ class DedupSpec extends SparkTestBase {
     assert(fp(1L) == fp(2L) && fp(2L) == fp(3L),
       "fingerprint must be invariant to case/punct/extra spaces")
   }
+
+  test("exact dedup hashes with sha-256; short docs stay out of topNgrams") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "ok"),
+      (4L, "the quick brown fox"), (5L, "the quick brown fox")
+    ).toDF("doc_id", "text")
+    val dup = Dedup.exactDuplicates(docs, "doc_id", "text")
+    // 64 hex chars = sha-256, not the collision-constructible 32-char md5
+    assert(dup.select("content_hash").as[String].collect()
+      .forall(h => h.length == 64 && h.matches("[0-9a-f]+")))
+    // padShort=false: the 1-word doc "ok" is not a 3-gram and must not
+    // enter the frequency profile; true 3-grams still count
+    val top = graft.text.TextAnalysis.topNgrams(docs, "doc_id", "text", n = 3, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(!top.contains("ok") && !top.contains("same text"), top.toString)
+    assert(top("the quick brown") == 2L && top("quick brown fox") == 2L)
+  }
 }
