@@ -59,15 +59,35 @@ object OnDemand {
       v: OnDemandView,
       fullFeatureNames: Boolean = false
   ): DataFrame = {
+    // A fullFeatureNames retrieval carries view features as
+    // `view__feature` (and earlier ODFV outputs as `odfv__output`), but an
+    // ODFV declares its inputs by BARE name — resolve each missing input
+    // to its uniquely-prefixed column for the duration of the transform
+    // and restore after, so ODFVs work identically under both naming
+    // modes (this was previously special-cased one level up, in
+    // Registry.applyOdfv, and only for registry-ref'd inputs).
+    val prefixResolved: Seq[(String, String)] =
+      v.inputs.filterNot(retrieved.columns.contains).flatMap { in =>
+        retrieved.columns.filter(_.endsWith(s"__$in")).toSeq match {
+          case Seq(one) => Seq(one -> in)
+          case Seq() => Nil // reported by the absent require below
+          case many => throw new IllegalArgumentException(
+            s"ODFV ${v.name}: input '$in' is ambiguous under full feature " +
+              s"names: ${many.mkString(", ")}")
+        }
+      }
+    val frame = prefixResolved.foldLeft(retrieved) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
     val allowed = (v.inputs ++ v.requestCols).distinct
-    val absent = allowed.filterNot(retrieved.columns.contains)
+    val absent = allowed.filterNot(frame.columns.contains)
     require(absent.isEmpty,
       s"ODFV ${v.name}: declared inputs not present in the retrieval frame: " +
         absent.mkString(", "))
     // Hide undeclared columns behind reserved names (pure projection).
-    val hidden = retrieved.columns.toSeq.filterNot(allowed.contains)
+    val hidden = frame.columns.toSeq.filterNot(allowed.contains)
     val hiddenMap = hidden.zipWithIndex.map { case (c, i) => c -> s"__odfv_hidden_$i" }
-    val iso = hiddenMap.foldLeft(retrieved) { case (d, (from, to)) =>
+    val iso = hiddenMap.foldLeft(frame) { case (d, (from, to)) =>
       d.withColumnRenamed(from, to)
     }
     val out = v.transform(iso)
@@ -89,13 +109,25 @@ object OnDemand {
       require(missingOut.isEmpty,
         s"ODFV ${v.name}: declared outputs not produced: ${missingOut.mkString(", ")}")
     }
-    // Restore hidden names, then apply the full-name prefix to the outputs.
-    val restored = hiddenMap.foldLeft(out) { case (d, (from, to)) =>
+    // Restore hidden names and prefixed-input names, then apply the
+    // full-name prefix to the outputs.
+    val restored0 = hiddenMap.foldLeft(out) { case (d, (from, to)) =>
+      d.withColumnRenamed(to, from)
+    }
+    val restored = prefixResolved.foldLeft(restored0) { case (d, (from, to)) =>
       d.withColumnRenamed(to, from)
     }
     if (fullFeatureNames)
-      appended.foldLeft(restored)((d, c) =>
-        d.withColumnRenamed(c, s"${v.name}__$c"))
+      appended.foldLeft(restored) { (d, c) =>
+        val prefixed = s"${v.name}__$c"
+        // the same collision rule as view features (utils.py:562): a
+        // silent duplicate name would poison every later reference with
+        // an ambiguous-column error far from the cause
+        require(!d.columns.contains(prefixed),
+          s"ODFV ${v.name}: prefixed output '$prefixed' collides with an " +
+            "existing column; rename the output or the view")
+        d.withColumnRenamed(c, prefixed)
+      }
     else restored
   }
 

@@ -143,17 +143,8 @@ final class Registry {
       v: OnDemandView,
       fullFeatureNames: Boolean
   ): DataFrame =
-    if (!fullFeatureNames) OnDemand.applyView(df, v, fullFeatureNames = false)
-    else {
-      val renames = v.sourceRefs.map(parseRef)
-        .map { case (view, feat) => s"${view}__$feat" -> feat }
-        .filter { case (pref, _) => df.columns.contains(pref) }
-      val plain = renames.foldLeft(df) { case (d, (from, to)) =>
-        d.withColumnRenamed(from, to)
-      }
-      val out = OnDemand.applyView(plain, v, fullFeatureNames = true)
-      renames.foldLeft(out) { case (d, (from, to)) =>
-        d.withColumnRenamed(to, from)
-      }
-    }
+    // prefixed-input resolution now lives inside applyView itself (bare
+    // inputs resolve to their uniquely-`view__`-prefixed columns), so the
+    // registry no longer needs its own rename shim
+    OnDemand.applyView(df, v, fullFeatureNames)
 }

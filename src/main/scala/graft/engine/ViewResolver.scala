@@ -27,7 +27,12 @@ object ViewResolver {
 
   final class UnknownViewException(name: String, referrer: String)
       extends IllegalArgumentException(
-        s"derived view '$referrer' references unknown source view '$name'")
+        // a top-level lookup miss (referrer == name) is a plain unknown
+        // name, not a self-referencing derivation — say so, or the user
+        // hunts for a derivation spec that never existed
+        if (name == referrer)
+          s"unknown view '$name' (not registered as a base or derived view)"
+        else s"derived view '$referrer' references unknown source view '$name'")
 
   /** Resolve `name` into a concrete FeatureView. `base` supplies leaf
     * views; `derived` supplies derivation specs (a name present in both is

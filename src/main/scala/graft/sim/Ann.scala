@@ -88,6 +88,25 @@ object Ann {
     * vector in bucket 0: LSH silently degenerates to the all-pairs cross
     * join it exists to avoid. One-row probe, loud failure instead.
     */
+  /** Shared sign-LSH bucketing: `(id, __vec, __n, t, b)` — one row per
+    * (table, input row), norm computed ONCE per input row (not per
+    * candidate collision: cosine() per joined row pays 3 dim-length dots
+    * per pair per colliding table), buckets via the single codegen'd
+    * [[graft.functions.VectorFunctions.signBuckets]] expression
+    * (generated-code size O(1) in tables × bits — composed per-plane dots
+    * exceed Janino's 64 KB method limit and de-optimize the stage to
+    * interpreted). Used by [[lshTopK]] and
+    * [[EmbeddingDedup.cosinePairsLsh]] so the bucket scheme and shuffle
+    * payload stay in one place.
+    */
+  private[sim] def signBucketed(df: DataFrame, idCol: String, vecCol: String,
+                                hp: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol), v.as("__vec"), norm(v).as("__n"),
+      posexplode(graft.functions.VectorFunctions.signBuckets(v, hp))
+        .as(Seq("t", "b")))
+  }
+
   private[sim] def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit =
     // probe a non-NULL row: size(NULL) is NULL and getInt on it would throw
     // an opaque NPE instead of the diagnostic this guard exists to give
@@ -151,18 +170,10 @@ object Ann {
     // tables × bits) instead of tables × bits composed dots, which blow the
     // 64 KB generated-method limit at strengthened table counts and knock
     // the stage back to interpreted eval
-    def withBuckets(df: DataFrame, idC: String, vecC: String,
-                    normC: String): DataFrame = {
-      val v = col(vecC).cast("array<double>")
-      // norm computed ONCE per input row, not per candidate collision —
-      // cosine() per joined row would pay 3 dim-length dots per pair per
-      // colliding table (the sibling brute-force/IVF paths precompute too)
-      df.select(col(idC), v.as(vecC), norm(v).as(normC),
-          posexplode(graft.functions.VectorFunctions.signBuckets(v, hp))
-            .as(Seq("t", "b")))
-    }
-    val qb = withBuckets(queries, "q_id", "q_vec", "__qn")
-    val cb = withBuckets(corpus, "c_id", "c_vec", "__cn")
+    val qb = signBucketed(queries, "q_id", "q_vec", hp)
+      .withColumnRenamed("__vec", "q_vec").withColumnRenamed("__n", "__qn")
+    val cb = signBucketed(corpus, "c_id", "c_vec", hp)
+      .withColumnRenamed("__vec", "c_vec").withColumnRenamed("__n", "__cn")
     // score BEFORE the candidate dedup: a pair colliding in k tables is
     // scored k times (cheap — one codegen'd dot each), but the dedup
     // shuffle then carries (q_id, c_id, sim) instead of two dim-length

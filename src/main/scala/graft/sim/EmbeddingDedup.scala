@@ -62,13 +62,9 @@ object EmbeddingDedup {
   ): DataFrame = {
     Ann.requireDim(df, vecCol, dim)
     val hp = Ann.hyperplanes(tables, bits, dim, seed)
-    val v = col(vecCol).cast("array<double>")
-    // one SignBuckets expression per row — generated-code size O(1) in
-    // tables × bits (the composed per-plane dots exceeded Janino's 64 KB
-    // method limit at 24 tables and de-optimized the stage to interpreted)
-    val bucketed = df.select(col(idCol), v.as("__v"), Ann.norm(v).as("__n"),
-      posexplode(graft.functions.VectorFunctions.signBuckets(v, hp))
-        .as(Seq("t", "b")))
+    // bucketing + norm precompute shared with Ann.lshTopK (one codegen'd
+    // SignBuckets expression; see Ann.signBucketed's scaladoc)
+    val bucketed = Ann.signBucketed(df, idCol, vecCol, hp)
     val a = bucketed.toDF("a", "__va", "__na", "t", "b")
     val b = bucketed.toDF("b_", "__vb", "__nb", "t", "b")
     // verify BEFORE the candidate dedup: a pair colliding in k tables is

@@ -43,6 +43,10 @@ object Quantize {
     */
   def quantize(df: DataFrame, idCol: String, embCol: String, dim: Int,
                precomputedCodebook: Option[DataFrame] = None): DataFrame = {
+    // same loud guard as Ann.requireDim: a dim mismatch makes zip_with
+    // NULL-pad or truncate the codes silently, and every downstream sim
+    // ends NULL — quantizedTopK would just return short/empty results
+    Ann.requireDim(df, embCol, dim)
     val cb = precomputedCodebook.getOrElse(codebook(df, embCol, dim))
     df.select(col(idCol), col(embCol).cast("array<double>").as("__v"))
       .crossJoin(broadcast(cb))

@@ -39,8 +39,18 @@ object Salting {
       sampleFraction: Double = 1.0
   ): DataFrame = {
     require(buckets > 1, "need at least 2 salt buckets")
+    // a sample too thin to RESOLVE the threshold must fail loudly: with
+    // rowThreshold·sampleFraction < ~4 the scaled cutoff truncates toward
+    // the max(1,·) floor and every key that appears in the sample at all
+    // is flagged hot — the "protection" then replicates nearly the whole
+    // probe side × buckets instead of just the genuinely hot keys
+    val scaled = rowThreshold * sampleFraction
+    require(sampleFraction >= 1.0 || scaled >= 4.0,
+      f"sampleFraction $sampleFraction%.2g cannot resolve rowThreshold " +
+        f"$rowThreshold (expected in-sample count $scaled%.2f < 4); " +
+        "raise sampleFraction to at least " + (4.0 / rowThreshold))
     val base = if (sampleFraction < 1.0) src.sample(withReplacement = false, sampleFraction, seed = 7L) else src
-    val eff = math.max(1L, (rowThreshold * sampleFraction).toLong)
+    val eff = math.max(1L, math.round(scaled))
     base
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))

@@ -93,7 +93,19 @@ object DatasetProfile {
       absTol: Double = 1e-9,
       exact: Boolean = false
   ): DataFrame = {
-    val got = profile(candidate, columns, exact)
+    // a requested column MISSING from the candidate (schema drift — the
+    // case a validation reference exists to catch) must become failed
+    // report rows via the full-outer join below, not an opaque
+    // NoSuchElementException out of profile()'s type lookup
+    val have = candidate.columns.toSet
+    val present = columns.filter(have.contains)
+    val got = (if (columns.isEmpty || present.nonEmpty)
+                 profile(candidate, present, exact)
+               else {
+                 import candidate.sparkSession.implicits._
+                 Seq.empty[(String, String, Option[Double])]
+                   .toDF("column", "metric", "value")
+               })
       .withColumnRenamed("value", "got_value")
     val ref = referenceProfile.withColumnRenamed("value", "ref_value")
     ref.join(got, Seq("column", "metric"), "full_outer")

@@ -65,11 +65,15 @@ object Profile {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Categorical top-N (spark.py:908-963), deterministically tie-broken. */
+  /** Categorical top-N (spark.py:908-963), deterministically tie-broken.
+    * Tie-break is asc NULLS LAST — Spark's bare asc sorts nulls FIRST
+    * while standard SQL engines (the oracle included) sort them LAST, so a
+    * NULL category tying at the limit-n cut would select different rows.
+    */
   def topN(df: DataFrame, column: String, n: Int): DataFrame =
     df.groupBy(col(column))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col(column).asc)
+      .orderBy(col("cnt").desc, col(column).asc_nulls_last)
       .limit(n)
 
   /** Table freshness for the monitoring sink (the `_freshness` table of

@@ -46,6 +46,26 @@ class OnDemandSpec extends SparkTestBase {
     assert(out.filter(col("idx_boost") =!= col("turn_idx") * 3).isEmpty)
   }
 
+  test("ODFVs work under fullFeatureNames: bare inputs resolve to prefixed columns") {
+    // retrieval prefixes view features (turn_stats__turn_idx); the ODFV
+    // declares 'turn_idx' bare — applyView must resolve it, and a SECOND
+    // ODFV must be able to read the first's (prefixed) output
+    val e = entity.withColumn("req_mult", lit(3))
+    val first = OnDemandView("boost",
+      inputs = Seq("turn_idx"), requestCols = Seq("req_mult"),
+      outputs = Seq("idx_boost"),
+      transform = df => df.withColumn("idx_boost", col("turn_idx") * col("req_mult")))
+    val second = OnDemandView("chain",
+      inputs = Seq("idx_boost"), outputs = Seq("idx_boost2"),
+      transform = df => df.withColumn("idx_boost2", col("idx_boost") * 2))
+    val out = Historical.getHistoricalFeatures(e, Seq(view),
+      fullFeatureNames = true, onDemand = Seq(first, second))
+    assert(out.columns.contains("boost__idx_boost") &&
+      out.columns.contains("chain__idx_boost2"), out.columns.mkString(","))
+    assert(out.filter(col("chain__idx_boost2") =!=
+      col("turn_stats__turn_idx") * 6).isEmpty)
+  }
+
   test("missing request data fails BEFORE retrieval runs") {
     val odfv = OnDemandView("boost",
       inputs = Seq("turn_idx"), requestCols = Seq("req_mult"),
