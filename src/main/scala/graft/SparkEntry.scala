@@ -495,9 +495,14 @@ object SparkEntry {
     // (bucket, chunk, offset) manifest a trainer consumes.
     "sample_pack" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // drop degenerate docs (NULL/whitespace-only text → NULL/0 token
+      // count) BEFORE packing, mirroring trainPrep: packSequences raises
+      // on non-positive counts by precondition, and the oracle filters the
+      // same rows — guard and oracle can't diverge on degenerate data
       sample.Packing.packSequences(
         text.TextAnalysis.tokenCounts(docs, "doc_id", "text")
-          .select(col("doc_id"), col("n_bpe_tokens")),
+          .select(col("doc_id"), col("n_bpe_tokens"))
+          .filter(col("n_bpe_tokens") > 0),
         "doc_id", "n_bpe_tokens", capacity = 512L, numBuckets = 16)
     }),
     "text_language_id" -> ((s, dir) =>
@@ -1449,7 +1454,8 @@ object SparkEntry {
     "sample_pack" -> withTables(
       """, tc AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
-        |    md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |    md5(CAST(doc_id AS VARCHAR)) AS key FROM documents
+        |  WHERE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) > 0),
         |b AS (SELECT doc_id, n_tokens, key,
         |    -- value-of-first-8-hex-digits mod 16 == the 8th digit's value
         |    CAST(strpos('0123456789abcdef', substr(key, 8, 1)) - 1 AS INT) AS bucket

@@ -81,7 +81,8 @@ object Historical {
         PointInTimeJoin.enrich(acc, v, entityTsCol, fullFeatureNames,
           filterByCreatedTs, precomputedBounds = bounds)
       }
-    val withOdfv = OnDemand.applyAll(out, onDemand, fullFeatureNames)
+    val withOdfv = OnDemand.applyAll(out, onDemand, fullFeatureNames,
+      knownPrefixes = Some(views.map(_.name).toSet))
     transform.map(_(withOdfv)).getOrElse(withOdfv)
   }
 
@@ -188,23 +189,45 @@ object Historical {
       views: Seq[FeatureView],
       asOf: java.sql.Timestamp,
       entityTsCol: String = "event_ts",
-      fullFeatureNames: Boolean = false
+      fullFeatureNames: Boolean = false,
+      positionalKeys: Boolean = false
   ): DataFrame = {
     val keyCols = views.head.joinKeys
     // the universe unions every view's keys POSITIONALLY into keyCols —
     // meaningful only when all views share the same join keys; fail here
     // with the actual mismatch instead of misfiling another view's key
-    // values (same-arity) or an opaque toDF error (different-arity)
-    views.foreach(v => require(v.joinKeys == keyCols,
+    // values (same-arity) or an opaque toDF error (different-arity).
+    // `positionalKeys = true` declares that same-ARITY views' keys are the
+    // same entity under different names (e.g. user_id vs uid) and restores
+    // positional mapping into keyCols; the alternative is a fieldMapping
+    // on the view renaming its key to the shared name. Different arity is
+    // always a hard error — there is no sane positional meaning.
+    views.foreach(v => require(
+      if (positionalKeys) v.joinKeys.size == keyCols.size
+      else v.joinKeys == keyCols,
       s"non-entity retrieval requires all views to share join keys: " +
-        s"'${v.name}' has ${v.joinKeys.mkString(",")}, expected ${keyCols.mkString(",")}"))
-    val universe = views
+        s"'${v.name}' has ${v.joinKeys.mkString(",")}, expected ${keyCols.mkString(",")}; " +
+        "rename via fieldMapping, or pass positionalKeys = true for " +
+        "same-arity keys that are declared equivalent"))
+    // normalize every view onto the canonical key names — the union below
+    // AND the retrieval join both need them (a positionally-mapped view's
+    // own key name does not exist on the discovered universe)
+    val normalized = views.map { v =>
+      if (v.joinKeys == keyCols) v
+      else {
+        val renamed = v.joinKeys.zip(keyCols).foldLeft(v.mappedSource) {
+          case (df, (from, to)) => df.withColumnRenamed(from, to)
+        }
+        v.copy(source = renamed, joinKeys = keyCols, fieldMapping = Map.empty)
+      }
+    }
+    val universe = normalized
       .map(v => v.mappedSource.select(v.joinKeys.map(k => col(k).cast("string")): _*)
         .toDF(keyCols: _*))
       .reduce(_ unionByName _)
       .distinct()
       // timestamp_ntz to match parquet-sourced naive timestamps end-to-end
       .withColumn(entityTsCol, lit(asOf).cast("timestamp_ntz"))
-    getHistoricalFeatures(universe, views, entityTsCol, fullFeatureNames)
+    getHistoricalFeatures(universe, normalized, entityTsCol, fullFeatureNames)
   }
 }

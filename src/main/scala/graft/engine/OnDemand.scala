@@ -57,7 +57,8 @@ object OnDemand {
   def applyView(
       retrieved: DataFrame,
       v: OnDemandView,
-      fullFeatureNames: Boolean = false
+      fullFeatureNames: Boolean = false,
+      knownPrefixes: Option[Set[String]] = None
   ): DataFrame = {
     // A fullFeatureNames retrieval carries view features as
     // `view__feature` (and earlier ODFV outputs as `odfv__output`), but an
@@ -66,9 +67,18 @@ object OnDemand {
     // and restore after, so ODFVs work identically under both naming
     // modes (this was previously special-cased one level up, in
     // Registry.applyOdfv, and only for registry-ref'd inputs).
+    // `knownPrefixes` (the resolved views' names + earlier ODFV names,
+    // threaded by the orchestrators) restricts candidates so an unrelated
+    // entity/request column that merely ENDS in `__<input>` (e.g.
+    // `legacy__turn_idx`) is never silently consumed as the ODFV input.
     val prefixResolved: Seq[(String, String)] =
       v.inputs.filterNot(retrieved.columns.contains).flatMap { in =>
-        retrieved.columns.filter(_.endsWith(s"__$in")).toSeq match {
+        val candidates = knownPrefixes match {
+          case Some(ps) => retrieved.columns.toSeq.filter(c =>
+            c.endsWith(s"__$in") && ps.contains(c.dropRight(in.length + 2)))
+          case None => retrieved.columns.toSeq.filter(_.endsWith(s"__$in"))
+        }
+        candidates match {
           case Seq(one) => Seq(one -> in)
           case Seq() => Nil // reported by the absent require below
           case many => throw new IllegalArgumentException(
@@ -132,12 +142,16 @@ object OnDemand {
   }
 
   /** Apply a sequence of ODFVs in order (later ODFVs may read earlier
-    * outputs by declaring them as inputs).
+    * outputs by declaring them as inputs — each applied ODFV's name joins
+    * the known-prefix set so its prefixed outputs resolve downstream).
     */
   def applyAll(
       retrieved: DataFrame,
       odfvs: Seq[OnDemandView],
-      fullFeatureNames: Boolean = false
+      fullFeatureNames: Boolean = false,
+      knownPrefixes: Option[Set[String]] = None
   ): DataFrame =
-    odfvs.foldLeft(retrieved)((acc, v) => applyView(acc, v, fullFeatureNames))
+    odfvs.foldLeft((retrieved, knownPrefixes)) { case ((acc, kp), v) =>
+      (applyView(acc, v, fullFeatureNames, kp), kp.map(_ + v.name))
+    }._1
 }

@@ -111,8 +111,8 @@ final class Registry {
       if (resolvedViews.isEmpty) entityDf
       else Historical.getHistoricalFeatures(
         entityDf, resolvedViews, entityTsCol, fullFeatureNames)
-    val withOdfv = requestedOdfvs.foldLeft(retrieved)((acc, v) =>
-      applyOdfv(acc, v, fullFeatureNames))
+    val withOdfv = OnDemand.applyAll(retrieved, requestedOdfvs,
+      fullFeatureNames, knownPrefixes = Some(viewOrder.toSet))
     // Final projection: entity columns + requested refs in ref order.
     val outName: ((String, String)) => String = { case (n, f) =>
       if (fullFeatureNames) s"${n}__$f" else f
@@ -131,20 +131,4 @@ final class Registry {
     Historical.getHistoricalFeaturesService(
       entityDf, featureService(serviceName), entityTsCol, fullFeatureNames)
 
-  /** Apply an ODFV to a retrieval frame whose feature columns may carry
-    * `view__feature` prefixes: the ODFV's inputs are declared un-prefixed
-    * (the reference un-prefixes before calling the transform,
-    * utils.py:820-844), so under fullFeatureNames the registry aliases
-    * each sourceRef's prefixed column to its plain name around the
-    * transform — pure projections, no data movement.
-    */
-  private def applyOdfv(
-      df: DataFrame,
-      v: OnDemandView,
-      fullFeatureNames: Boolean
-  ): DataFrame =
-    // prefixed-input resolution now lives inside applyView itself (bare
-    // inputs resolve to their uniquely-`view__`-prefixed columns), so the
-    // registry no longer needs its own rename shim
-    OnDemand.applyView(df, v, fullFeatureNames)
 }

@@ -120,7 +120,13 @@ object PointInTimeJoin {
       // silently prune QUALIFYING partitions (December sorts above January
       // of the next year), returning null features with no error
       val sig = "yMdHms"
-      val order = view.datePartitionFormat.filter(sig.contains(_)).distinct
+      // strip single-quoted literal sections first (a literal like
+      // 'month' contains pattern letters that are NOT fields — e.g.
+      // yyyy-'month'-MM is a valid most-significant-first format whose
+      // literal 'm' would otherwise spuriously fail the order check);
+      // '' (escaped quote) matches the same regex and drops harmlessly
+      val fieldsOnly = view.datePartitionFormat.replaceAll("'[^']*'", "")
+      val order = fieldsOnly.filter(sig.contains(_)).distinct
       require(order.nonEmpty && order.head == 'y' &&
         sig.filter(order.contains(_)) == order,
         s"datePartitionFormat '${view.datePartitionFormat}' is not " +

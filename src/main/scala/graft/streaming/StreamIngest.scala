@@ -114,6 +114,19 @@ object StreamIngest {
       }
       .start()
 
+  /** Read back an [[ingest]] output directory. `batch_id` is a Hive-style
+    * PARTITION directory on disk (idempotent replay overwrite needs one
+    * directory per batch), and partition-type inference would surface it as
+    * IntegerType (or StringType with inference off) — NOT the LongType the
+    * pre-partitioned layout's data column carried. This reader is the
+    * compatibility seam: it restores `batch_id: LongType` explicitly so
+    * consumers see the same schema regardless of inference settings.
+    */
+  def readIngested(spark: org.apache.spark.sql.SparkSession,
+                   outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+
   /** Deterministic-constant form (tests and replays). */
   def ingest(
       stream: DataFrame,

@@ -66,6 +66,24 @@ class OnDemandSpec extends SparkTestBase {
       col("turn_stats__turn_idx") * 6).isEmpty)
   }
 
+  test("unrelated entity column ending in __<input> is never consumed as an ODFV input") {
+    // `legacy__turn_idx` merely LOOKS prefixed — it is an entity column,
+    // not a view output. knownPrefixes (resolved view names + earlier
+    // ODFV names) must restrict resolution to turn_stats__turn_idx; a
+    // bare endsWith match would either consume the legacy column or
+    // throw a spurious ambiguity.
+    val e = entity.withColumn("legacy__turn_idx", lit(999))
+    val odfv = OnDemandView("boost",
+      inputs = Seq("turn_idx"), outputs = Seq("idx2"),
+      transform = df => df.withColumn("idx2", col("turn_idx") * 2))
+    val out = Historical.getHistoricalFeatures(e, Seq(view),
+      fullFeatureNames = true, onDemand = Seq(odfv))
+    assert(out.filter(col("boost__idx2") =!=
+      col("turn_stats__turn_idx") * 2).isEmpty)
+    assert(out.filter(col("boost__idx2") === 1998).isEmpty,
+      "legacy__turn_idx (999) must never feed the ODFV")
+  }
+
   test("missing request data fails BEFORE retrieval runs") {
     val odfv = OnDemandView("boost",
       inputs = Seq("turn_idx"), requestCols = Seq("req_mult"),

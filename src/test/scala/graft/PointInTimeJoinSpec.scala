@@ -279,4 +279,25 @@ class PointInTimeJoinSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("most-significant-first"), e.getMessage)
   }
+
+  test("quoted literal sections in datePartitionFormat don't fail the order guard") {
+    // 'month' contains pattern letters (m, o...) that are LITERAL text, not
+    // fields; the guard must strip quoted sections before checking the
+    // y→M→d order (the literal 'm' would otherwise read as a minute field
+    // sorting before M). Constant literals keep the string order monotonic
+    // in date, so pruning stays correct too.
+    val fmt = "yyyy-'month'-MM"
+    val src = spark.createDataset(turns).toDF()
+      .withColumn("pdate", date_format(col("ts"), fmt))
+    val v = FeatureView("pv", src, Seq("conv_id"), "ts", None, 0L,
+      features = Seq("turn_idx"), tieBreakCols = Seq("turn_idx"),
+      datePartitionCol = Some("pdate"), datePartitionFormat = fmt)
+    val pruned = PointInTimeJoin.enrich(entityDf, v, "event_ts")
+      .select("conv_id", "event_ts", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.getAs[Any](2)))).toSet
+    val plain = PointInTimeJoin.enrich(entityDf, view(0L), "event_ts")
+      .select("conv_id", "event_ts", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.getAs[Any](2)))).toSet
+    assert(pruned == plain, "pruned-by-literal-format retrieval must equal unpartitioned")
+  }
 }

@@ -75,4 +75,37 @@ class ServiceSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("share join keys"), e.getMessage)
   }
+
+  test("positionalKeys maps same-arity keys declared equivalent; arity mismatch still fails") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val a = Seq(("u1", t0, 1L), ("u2", t0, 3L)).toDF("user_id", "ts", "v")
+    // same entity, legacy column name `uid` — positionalKeys declares the
+    // equivalence without forcing a fieldMapping rename on the caller
+    val b = Seq(("u2", t0, 2L), ("u3", t0, 4L)).toDF("uid", "ts", "w")
+    val va = FeatureView("va", a, Seq("user_id"), "ts", None, 0L,
+      features = Seq("v"), tieBreakCols = Seq("v"))
+    val vb = FeatureView("vb", b, Seq("uid"), "ts", None, 0L,
+      features = Seq("w"), tieBreakCols = Seq("w"))
+    val out = graft.engine.Historical.nonEntityRetrieval(Seq(va, vb),
+      Timestamp.valueOf("2026-01-02 00:00:00"), positionalKeys = true)
+      .select("user_id", "v", "w").collect()
+      .map(r => (r.getString(0), Option(r.getAs[Any](1)), Option(r.getAs[Any](2))))
+      .toSet
+    // universe = union of both views' keys under the canonical name;
+    // vb's features attach to the SAME ids, not a misfiled column
+    assert(out == Set(
+      ("u1", Some(1L), None),
+      ("u2", Some(3L), Some(2L)),
+      ("u3", None, Some(4L))), out.toString)
+    // different arity has no positional meaning — still a hard error
+    val c = Seq(("u1", "x", t0, 9L)).toDF("k1", "k2", "ts", "z")
+    val vc = FeatureView("vc", c, Seq("k1", "k2"), "ts", None, 0L,
+      features = Seq("z"), tieBreakCols = Seq("z"))
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Historical.nonEntityRetrieval(Seq(va, vc),
+        Timestamp.valueOf("2026-01-02 00:00:00"), positionalKeys = true)
+    }
+    assert(e.getMessage.contains("share join keys"), e.getMessage)
+  }
 }

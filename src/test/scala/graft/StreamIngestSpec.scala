@@ -44,6 +44,24 @@ class StreamIngestSpec extends SparkTestBase {
     assert(out.select("created_ts").distinct().as[Timestamp].collect().toSeq == Seq(created))
   }
 
+  test("readIngested restores batch_id as LongType regardless of partition inference") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamIngest.ingest(mem.toDF(), Seq("conv_id"), "ts",
+      Seq("turn_idx"), s"$tmp/typed-out", s"$tmp/typed-ckpt", created)
+    mem.addData(turns.take(4)); q.processAllAvailable()
+    mem.addData(turns.drop(4).take(4)); q.processAllAvailable()
+    q.stop()
+    // batch_id lives as a Hive partition directory on disk (idempotent
+    // replay overwrite); inference would surface it as IntegerType — the
+    // reader seam must hand consumers the LongType the pre-partitioned
+    // layout's data column carried
+    val out = StreamIngest.readIngested(spark, s"$tmp/typed-out")
+    assert(out.schema("batch_id").dataType ==
+      org.apache.spark.sql.types.LongType, out.schema.treeString)
+    assert(out.select("batch_id").distinct().as[Long].collect().toSet == Set(0L, 1L))
+  }
+
   test("ingest stamps created_ts PER BATCH, not once for the query lifetime") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Turn]
