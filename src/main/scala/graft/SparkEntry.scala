@@ -61,6 +61,27 @@ object SparkEntry {
         Transcripts.entityFrame(s, dir),
         turnStatsView(s, dir, ttlSec = 4 * 3600L),
         saltBuckets = 8, hotKeyRowThreshold = 50L)),
+    // North-star zero-temporal-leakage audit (BASELINE.json north rule):
+    // the SAME retrieval through all three physical strategies (merge,
+    // plain join, salted join), carrying the contributing feature
+    // timestamp and emitting leaked = max_fts > event_ts per output row.
+    // The oracle recomputes max_fts and leaked independently, so a leak
+    // on ANY strategy is a hash mismatch — and the all-false leaked
+    // column is durable per-row evidence in the correctness artifact.
+    "pit_leakage_audit" -> ((s, dir) => {
+      val ents = Transcripts.entityFrame(s, dir)
+      def v = turnStatsView(s, dir, ttlSec = 4 * 3600L)
+        .copy(features = Seq("turn_idx", "turn_ts"))
+      def audit(df: DataFrame, strategy: String): DataFrame =
+        df.select(col("conv_id"), col("event_ts"), col("label"),
+          col("turn_ts").as("max_fts"),
+          coalesce(col("turn_ts") > col("event_ts"), lit(false)).as("leaked"),
+          lit(strategy).as("strategy"))
+      audit(pit.PointInTimeJoin.enrichMerge(ents, v), "merge")
+        .unionByName(audit(pit.PointInTimeJoin.enrichJoin(ents, v), "join"))
+        .unionByName(audit(pit.PointInTimeJoin.enrichJoin(ents, v,
+          saltBuckets = 8, hotKeyRowThreshold = 50L), "salted"))
+    }),
     // No-TTL variant (offline_utils.py:144-147 — ttl 0 = unbounded below).
     "pit_no_ttl" -> ((s, dir) =>
       Historical.getHistoricalFeatures(
@@ -87,6 +108,18 @@ object SparkEntry {
             .copy(features = Seq("turn_idx", "text_len")),
           convQualityView(s, dir)),
         fullFeatureNames = true)),
+    // Multi-view assembly in created-ts filter mode: the fused single-sort
+    // path now covers per-view visibility times (greatest(ts, created)) +
+    // per-view running max_by — one view with a created column, one
+    // without, in ONE window pass (plan contract pins one exchange).
+    "pit_multiview_created" -> ((s, dir) =>
+      Historical.getHistoricalFeatures(
+        Transcripts.entityFrame(s, dir),
+        Seq(
+          turnStatsView(s, dir, ttlSec = 4 * 3600L)
+            .copy(features = Seq("turn_idx", "text_len")),
+          convQualityView(s, dir)),
+        fullFeatureNames = true, filterByCreatedTs = true)),
     // Entityless / global view via DUMMY_ENTITY (J9; feature_view.py:95-108).
     "pit_entityless" -> ((s, dir) => {
       val g = s.read.parquet(s"$dir/events.parquet")
@@ -470,6 +503,13 @@ object SparkEntry {
       sample.Sampling.hashSplit(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    // Sub-1/65536 smoke-sample fraction (the 8-hex 2³²-bucket space): a
+    // 1e-5 draw that the old 4-hex granularity loudly rejected — the
+    // 100 TB "give me a few thousand rows of the corpus" probe.
+    "sample_tiny_fraction" -> ((s, dir) =>
+      sample.Sampling.hashSample(
+        s.read.parquet(s"$dir/events.parquet").select(col("event_id")),
+        "event_id", fraction = 1e-5)),
     // Deterministic per-language stratified 20% sample (salted two-level
     // rank — hot-stratum-safe, byte-identical to the single-window draw).
     "sample_stratified" -> ((s, dir) =>
@@ -675,6 +715,28 @@ object SparkEntry {
         "doc_id", "media")
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("lane", "val")))),
 
+    // REAL image decode (javax.imageio, JDK-only — no external codec):
+    // synthesize one two-tone PNG per sampled event (executor-side encode),
+    // then DECODE the actual bytes back to dimensions + exact per-channel
+    // pixel sums. PNG is lossless, so DuckDB recomputes every column from
+    // the generating parameters alone — the decode is oracle-checked, not
+    // golden-pinned.
+    "mm_decode" -> ((s, dir) => {
+      val specs = s.read.parquet(s"$dir/events.parquet")
+        .filter(pmod(col("event_id"), lit(17)) === 0)
+        .select(col("event_id").as("id"),
+          (pmod(col("event_id"), lit(7)) + 3).cast("int").as("w"),
+          (pmod(col("event_id"), lit(5)) + 2).cast("int").as("h"),
+          pmod(col("event_id"), lit(256)).as("r1"),
+          pmod(col("event_id") * 7, lit(256)).as("g1"),
+          pmod(col("event_id") * 13, lit(256)).as("b1"),
+          pmod(col("event_id") * 31, lit(256)).as("r2"),
+          pmod(col("event_id") * 37, lit(256)).as("g2"),
+          pmod(col("event_id") * 41, lit(256)).as("b2"))
+      multimodal.Multimodal.decodeImageStats(
+        multimodal.Multimodal.synthesizeTwoTonePng(specs), "id", "png")
+        .withColumnRenamed("id", "event_id")
+    }),
     // ----------------------------------------------------------- monitoring
     "stats_value" -> ((s, dir) =>
       Profile.numericStats(s.read.parquet(s"$dir/events.parquet"), "value")),
@@ -1003,6 +1065,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "pit_latest_turn" -> pitLatestTurnOracle,
     "pit_salted" -> pitLatestTurnOracle,
+    // leakage audit: DuckDB recomputes the contributing feature ts and the
+    // leaked flag from scratch; the 3-strategy fan-out is a constant cross
+    // join (every strategy must emit byte-identical audit rows)
+    "pit_leakage_audit" -> withTables(
+      s""", j AS (
+         |  SELECT e.conv_id, e.event_ts, f.ts AS fts,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN transcript f ON f.conv_id = e.conv_id
+         |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR),
+         |base AS (
+         |  SELECT e.conv_id, e.event_ts, e.label, j.fts AS max_fts,
+         |    coalesce(j.fts > e.event_ts, FALSE) AS leaked
+         |  FROM entity e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |    ON j.conv_id = e.conv_id AND j.event_ts = e.event_ts)
+         |SELECT b.conv_id, b.event_ts, b.label, b.max_fts, b.leaked, s.strategy
+         |FROM base b CROSS JOIN (VALUES ('merge'), ('join'), ('salted')) s(strategy)""".stripMargin),
     "pit_no_ttl" -> withTables(
       s""", j AS (
          |  SELECT e.conv_id, e.event_ts, f.turn_idx, f.role,
@@ -1048,6 +1128,31 @@ object SparkEntry {
          |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
          |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
          |  JOIN conv_quality q ON q.conv_id = e.conv_id AND q.ts <= e.event_ts)
+         |SELECT e.conv_id, e.event_ts, e.label,
+         |  j1.turn_idx AS turn_stats__turn_idx, j1.text_len AS turn_stats__text_len,
+         |  j2.score AS conv_quality__score
+         |FROM entity e
+         |LEFT JOIN (SELECT * FROM j1 WHERE rn = 1) j1
+         |  ON j1.conv_id = e.conv_id AND j1.event_ts = e.event_ts
+         |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2
+         |  ON j2.conv_id = e.conv_id AND j2.event_ts = e.event_ts""".stripMargin),
+    // the created-filter multiview: j1 (no created column) unchanged; j2
+    // additionally requires created_ts <= event_ts (visibility cutoff)
+    "pit_multiview_created" -> withTables(
+      s""", j1 AS (
+         |  SELECT e.conv_id, e.event_ts, f.turn_idx, length(f.text) AS text_len,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN transcript f ON f.conv_id = e.conv_id
+         |   AND f.ts <= e.event_ts AND f.ts >= e.event_ts - INTERVAL 4 HOUR),
+         |j2 AS (
+         |  SELECT e.conv_id, e.event_ts, q.score,
+         |    row_number() OVER (PARTITION BY e.conv_id, e.event_ts
+         |                       ORDER BY q.ts DESC, q.created_ts DESC, q.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT conv_id, event_ts FROM entity) e
+         |  JOIN conv_quality q ON q.conv_id = e.conv_id AND q.ts <= e.event_ts
+         |   AND q.created_ts <= e.event_ts)
          |SELECT e.conv_id, e.event_ts, e.label,
          |  j1.turn_idx AS turn_stats__turn_idx, j1.text_len AS turn_stats__text_len,
          |  j2.score AS conv_quality__score
@@ -1419,9 +1524,9 @@ object SparkEntry {
          |rw AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR) AS pack_id, n_tokens
          |       FROM cand
          |       WHERE c < floor(wt)
-         |          OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 4) <
-         |             CASE source WHEN 'src1' THEN '4000' WHEN 'src2' THEN '8000'
-         |                         ELSE '0000' END),
+         |          OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 8) <
+         |             CASE source WHEN 'src1' THEN '40000000' WHEN 'src2' THEN '80000000'
+         |                         ELSE '00000000' END),
          |bkt AS (SELECT pack_id, n_tokens, md5(pack_id) AS key,
          |          CAST(strpos('0123456789abcdef', substr(md5(pack_id), 8, 1)) - 1 AS INT) AS bucket
          |        FROM rw),
@@ -1443,10 +1548,12 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM idx)
         |SELECT g AS shingle, count(*) AS doc_freq FROM sh
         |GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin),
+    // cutoff hex literals = floor(cum_fraction·2³²) as %08x (8-hex bucket
+    // space): 0.8→'cccccccc', 0.9→'e6666666'
     "sample_split" -> withTables(
       """SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
-        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin),
     // hex→int without engine-specific cast syntax: positional strpos over
@@ -1468,8 +1575,9 @@ object SparkEntry {
         |  (cum - 1) // 512 AS pack_last,
         |  (cum - n_tokens) % 512 AS pack_offset
         |FROM c""".stripMargin),
-    // cutoff hex literals = floor(frac(w)·65536) as %04x: 0.25→'4000',
-    // 0.5→'8000'; integral weights → '0000' (last candidate always drops)
+    // cutoff hex literals = floor(frac(w)·2³²) as %08x: 0.25→'40000000',
+    // 0.5→'80000000'; integral weights → '00000000' (last candidate always
+    // drops)
     "sample_reweight" -> withTables(
       """, w AS (SELECT doc_id, source,
         |    CASE source WHEN 'src1' THEN 2.25 WHEN 'src2' THEN 0.5
@@ -1479,13 +1587,17 @@ object SparkEntry {
         |    unnest(generate_series(0, CAST(floor(wt) AS BIGINT))) AS c FROM w)
         |SELECT doc_id, source, c AS copy_idx FROM cand
         |WHERE c < floor(wt)
-        |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 4) <
-        |      CASE source WHEN 'src1' THEN '4000' WHEN 'src2' THEN '8000'
-        |                  ELSE '0000' END""".stripMargin),
+        |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 8) <
+        |      CASE source WHEN 'src1' THEN '40000000' WHEN 'src2' THEN '80000000'
+        |                  ELSE '00000000' END""".stripMargin),
     "sample_shuffle" -> withTables(
       """SELECT doc_id,
         |  md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
         |FROM documents""".stripMargin),
+    // floor(1e-5 · 2³²) = 42949 = 0x0000a7c5
+    "sample_tiny_fraction" -> withTables(
+      """SELECT event_id FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '0000a7c5'""".stripMargin),
     "sample_stratified" -> withTables(
       """, r AS (
         |  SELECT doc_id, lang,
@@ -1618,6 +1730,20 @@ object SparkEntry {
         |  +(strpos('0123456789abcdef', substr(hh, s*4+4, 1))-1) AS q FROM h)
         |SELECT doc_id, CAST(lane AS INT) AS lane,
         |  CAST(q/32768.0 - 1.0 AS FLOAT) AS val FROM v""".stripMargin),
+    // exact expected pixel stats of the synthesized two-tone w×h PNG:
+    // left floor(w/2) columns are color 1, the rest color 2; PNG is
+    // lossless so the decoded sums equal the arithmetic ones
+    "mm_decode" -> withTables(
+      """, spec AS (SELECT event_id,
+        |    CAST(event_id % 7 + 3 AS INT) AS w, CAST(event_id % 5 + 2 AS INT) AS h,
+        |    event_id % 256 AS r1, (event_id*7) % 256 AS g1, (event_id*13) % 256 AS b1,
+        |    (event_id*31) % 256 AS r2, (event_id*37) % 256 AS g2, (event_id*41) % 256 AS b2
+        |  FROM events WHERE event_id % 17 = 0)
+        |SELECT event_id, w AS width, h AS height,
+        |  CAST(h * ((w//2)*r1 + (w - w//2)*r2) AS BIGINT) AS sum_r,
+        |  CAST(h * ((w//2)*g1 + (w - w//2)*g2) AS BIGINT) AS sum_g,
+        |  CAST(h * ((w//2)*b1 + (w - w//2)*b2) AS BIGINT) AS sum_b
+        |FROM spec""".stripMargin),
 
     "stats_value" -> withTables(
       """SELECT count(*) AS n_rows, count(value) AS n_nonnull,

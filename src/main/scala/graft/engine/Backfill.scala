@@ -21,7 +21,10 @@ import scala.jdk.CollectionConverters._
   * backfill killed mid-run resumes exactly where it stopped; the manifest is
   * written atomically (temp file + move) so a crash mid-write re-runs that
   * partition rather than trusting a torn file. Partition outputs are
-  * `overwrite` so re-running a partition is idempotent.
+  * `overwrite` so re-running a partition is idempotent. Two drivers resuming
+  * the same backfill serialize per partition on an OS file lock
+  * ([[Locks.withFileLock]]) with an isComplete re-check inside it, so each
+  * partition's job and manifest write happen exactly once across drivers.
   *
   * Scale design: the *loop* is over source partitions (days of `ts` — the
   * Iceberg `days(ts)` layout; plain parquet `ds=` directories stand in here
@@ -77,30 +80,42 @@ object Backfill {
       .toIndexedSeq
     val pending = partitions.filterNot(p => isComplete(checkpointDir, p))
 
-    pending.take(maxPartitions).map { p =>
-      val idx = partitions.indexOf(p)
-      val visible = partitions.slice(math.max(0, idx - lookbackPartitions), idx + 1)
-      val t0 = System.currentTimeMillis()
-      val slice = source.filter(col(partitionCol).cast("string").isin(visible: _*))
-      // Observation metrics: input AND output rows counted inside the write
-      // job itself (stays in whole-stage codegen — no second action over the
-      // input, no accumulator map). The input observe sits on the slice so
-      // one pass yields both counts; a truthful input count has to see every
-      // slice row anyway, so the metrics barrier costs nothing the old
-      // separate `slice.count()` scan didn't.
-      val inObs = org.apache.spark.sql.Observation(s"backfill_in_$p")
-      val outObs = org.apache.spark.sql.Observation(s"backfill_out_$p")
-      val observed = slice.observe(inObs, count(lit(1)).as("in_rows"))
-      val outRaw = job(observed).filter(col(partitionCol).cast("string") === p)
-      outRaw.observe(outObs, count(lit(1)).as("out_rows"))
-        .write.mode("overwrite").parquet(s"$outDir/$partitionCol=${escapeDirValue(p)}")
-      val outputRows = outObs.get("out_rows").asInstanceOf[Long]
-      val inputRows = inObs.get("in_rows").asInstanceOf[Long]
-      val dur = System.currentTimeMillis() - t0
-      val lineage = slice.inputFiles.toSeq.sorted
-      writeManifest(checkpointDir, p, inputRows, outputRows, lineage, t0, dur,
-        sourceSnapshot)
-      PartitionResult(p, "complete", inputRows, outputRows, dur)
+    pending.take(maxPartitions).flatMap { p =>
+      // Cross-driver claim: two drivers resuming the same backfill both
+      // compute `pending` from the same manifests — without a lock they'd
+      // run (and CONCURRENTLY overwrite) the same partition output, which
+      // mode("overwrite") does not make safe (one delete interleaving the
+      // other's write leaves mixed files). The per-partition OS file lock
+      // serializes the claim, and the isComplete RE-CHECK inside it makes
+      // the late driver skip work the early one finished while it waited.
+      Locks.withFileLock(manifestPath(checkpointDir, p).toString) {
+        if (isComplete(checkpointDir, p)) None
+        else Some {
+          val idx = partitions.indexOf(p)
+          val visible = partitions.slice(math.max(0, idx - lookbackPartitions), idx + 1)
+          val t0 = System.currentTimeMillis()
+          val slice = source.filter(col(partitionCol).cast("string").isin(visible: _*))
+          // Observation metrics: input AND output rows counted inside the write
+          // job itself (stays in whole-stage codegen — no second action over the
+          // input, no accumulator map). The input observe sits on the slice so
+          // one pass yields both counts; a truthful input count has to see every
+          // slice row anyway, so the metrics barrier costs nothing the old
+          // separate `slice.count()` scan didn't.
+          val inObs = org.apache.spark.sql.Observation(s"backfill_in_$p")
+          val outObs = org.apache.spark.sql.Observation(s"backfill_out_$p")
+          val observed = slice.observe(inObs, count(lit(1)).as("in_rows"))
+          val outRaw = job(observed).filter(col(partitionCol).cast("string") === p)
+          outRaw.observe(outObs, count(lit(1)).as("out_rows"))
+            .write.mode("overwrite").parquet(s"$outDir/$partitionCol=${escapeDirValue(p)}")
+          val outputRows = outObs.get("out_rows").asInstanceOf[Long]
+          val inputRows = inObs.get("in_rows").asInstanceOf[Long]
+          val dur = System.currentTimeMillis() - t0
+          val lineage = slice.inputFiles.toSeq.sorted
+          writeManifest(checkpointDir, p, inputRows, outputRows, lineage, t0, dur,
+            sourceSnapshot)
+          PartitionResult(p, "complete", inputRows, outputRows, dur)
+        }
+      }
     }.toSeq
   }
 

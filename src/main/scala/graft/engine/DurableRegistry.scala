@@ -224,33 +224,13 @@ object DurableRegistry {
 
   private val applyLock = new Object
 
-  /** Cross-process writer lock: a blocking OS [[java.nio.channels.FileLock]]
-    * on the sibling `<name>.lock` file (never the registry file itself —
-    * locking the target would race with [[save]]'s atomic rename). Same-JVM
-    * overlap (the JDK throws instead of blocking there) retries: `apply` is
-    * already serialized by `applyLock`, so an overlap can only be an
-    * external holder, e.g. a backup tool or a test.
+  /** Cross-process writer lock — see [[Locks.withFileLock]] (shared with
+    * the backfill manifest store). `apply` is already serialized same-JVM
+    * by `applyLock`, so a same-JVM overlap can only be an external holder,
+    * e.g. a backup tool or a test.
     */
-  private def withFileLock[T](path: String)(body: => T): T = {
-    val target = java.nio.file.Paths.get(path)
-    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    val lockPath = target.resolveSibling(target.getFileName.toString + ".lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      var lock: java.nio.channels.FileLock = null
-      while (lock == null) {
-        try lock = ch.lock()
-        catch {
-          case _: java.nio.channels.OverlappingFileLockException =>
-            Thread.sleep(10)
-        }
-      }
-      try body
-      finally lock.release()
-    } finally ch.close()
-  }
+  private def withFileLock[T](path: String)(body: => T): T =
+    Locks.withFileLock(path)(body)
 
   /** Atomic write: serialize to a sibling temp file, then rename over the
     * target — a concurrent reader sees either the old or the new registry,

@@ -63,11 +63,12 @@ object Historical {
     val bounds = Some(PointInTimeJoin.entityBounds(entityDf, entityTsCol))
     // Multi-view fusion: views sharing the same join keys enrich through
     // ONE union → shuffle → sort → window pass (enrichMergeFused) instead
-    // of N sequential merges — N-1 fewer shuffles and join-backs. Falls
-    // back to the sequential fold for mixed keys, created-ts filter mode
-    // (per-view running max_by), keyless views, or a Date entity ts
-    // (per-view type-promotion rules differ).
-    val fusable = bounded.size >= 2 && !filterByCreatedTs &&
+    // of N sequential merges — N-1 fewer shuffles and join-backs.
+    // Created-ts filter mode fuses too (per-view visibility time + running
+    // max_by inside the same single sort). Falls back to the sequential
+    // fold for mixed keys, keyless views, or a Date entity ts (per-view
+    // type-promotion rules differ).
+    val fusable = bounded.size >= 2 &&
       bounded.head.joinKeys.nonEmpty &&
       bounded.forall(_.joinKeys == bounded.head.joinKeys) &&
       entityDf.columns.contains(entityTsCol) &&
@@ -76,7 +77,7 @@ object Historical {
     val out =
       if (fusable)
         PointInTimeJoin.enrichMergeFused(entityDf, bounded, entityTsCol,
-          fullFeatureNames, precomputedBounds = bounds)
+          fullFeatureNames, filterByCreatedTs, precomputedBounds = bounds)
       else bounded.foldLeft(entityDf) { (acc, v) =>
         PointInTimeJoin.enrich(acc, v, entityTsCol, fullFeatureNames,
           filterByCreatedTs, precomputedBounds = bounds)

@@ -1,0 +1,37 @@
+package graft.engine
+
+/** Cross-process advisory file locking shared by the durable registry and
+  * the backfill manifest store — anywhere two DRIVERS may read-modify-write
+  * the same on-disk state (the reference's file registry has no writer
+  * lock at all; two `feast apply` runs can last-writer-win).
+  */
+private[graft] object Locks {
+
+  /** Blocking OS [[java.nio.channels.FileLock]] on the sibling
+    * `<name>.lock` file — never the target itself (locking the target
+    * would race with atomic-rename writers). Same-JVM overlap (the JDK
+    * throws [[java.nio.channels.OverlappingFileLockException]] instead of
+    * blocking there) retries with a short sleep, so two threads of one
+    * driver serialize exactly like two separate drivers.
+    */
+  def withFileLock[T](path: String)(body: => T): T = {
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val lockPath = target.resolveSibling(target.getFileName.toString + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var lock: java.nio.channels.FileLock = null
+      while (lock == null) {
+        try lock = ch.lock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            Thread.sleep(10)
+        }
+      }
+      try body
+      finally lock.release()
+    } finally ch.close()
+  }
+}

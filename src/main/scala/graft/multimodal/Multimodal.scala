@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * frame-sample run as distributed column programs or batched
   * `mapPartitions` decoders.
   *
-  * **The decode step is STUBBED**: this sandbox has no codec libraries, so
-  * [[stubFeaturize]] derives a deterministic pseudo-embedding from the raw
-  * bytes (pure Catalyst, codegen'd) and [[featurizeWithDecoder]] shows the
-  * batched integration point where a real JNI/Java codec would plug in. The
-  * Spark-side contract — schema, batch shape, partitioning, null handling —
-  * is real and tested (MultimodalSpec).
+  * **Still images decode for REAL**: the JDK ships `javax.imageio`
+  * (PNG/JPEG/BMP/GIF need no external dependency), so
+  * [[decodeImageStats]] / [[decodeLumaGrid]] run an actual pixel decode
+  * per row in the batched executor-side seam. Codecs the JDK lacks
+  * (video/audio) remain stubbed: [[stubFeaturize]] derives a deterministic
+  * pseudo-embedding from the raw bytes (pure Catalyst, codegen'd) and
+  * [[featurizeWithDecoder]] is the batched integration point where a
+  * JNI/native codec would plug in. The Spark-side contract — schema,
+  * batch shape, partitioning, null handling — is identical either way.
   */
 object Multimodal {
 
@@ -121,4 +124,126 @@ object Multimodal {
   }
 
   case class Embedding(values: Array[Float])
+
+  // ------------------------------------------------------------------ image
+  // Real JDK-only image codec path (javax.imageio). No driver involvement:
+  // every encode/decode runs inside mapPartitions on the executors, one
+  // codec call per row, rows streamed through — the same seam shape as
+  // featurizeWithDecoder.
+
+  /** Input spec for [[synthesizeTwoTonePng]]: a w×h image, left half
+    * (x < w/2) colored (r1,g1,b1), right half (r2,g2,b2). Deterministic
+    * test/benchmark image source — the sandbox has no real image corpus,
+    * and a two-tone layout makes decoded channel sums exactly computable
+    * by an oracle from the generating parameters alone.
+    */
+  case class ImgSpec(id: Long, w: Int, h: Int,
+      r1: Int, g1: Int, b1: Int, r2: Int, g2: Int, b2: Int)
+  case class ImgBytes(id: Long, png: Array[Byte])
+  case class ImgStats(id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+  case class LumaCell(id: Long, cell_x: Int, cell_y: Int, mean_luma: Double)
+
+  /** Encode one real PNG per row from an [[ImgSpec]]-shaped frame
+    * (columns id, w, h, r1..b2). Output (id, png binary).
+    */
+  def synthesizeTwoTonePng(df: DataFrame): DataFrame =
+    df.select(col("id").cast("long"), col("w").cast("int"), col("h").cast("int"),
+        col("r1").cast("int"), col("g1").cast("int"), col("b1").cast("int"),
+        col("r2").cast("int"), col("g2").cast("int"), col("b2").cast("int"))
+      .as(Encoders.product[ImgSpec])
+      .mapPartitions { rows =>
+        rows.map { s =>
+          require(s.w > 0 && s.h > 0, s"degenerate image dims ${s.w}x${s.h} for id ${s.id}")
+          val img = new java.awt.image.BufferedImage(
+            s.w, s.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val c1 = (s.r1 << 16) | (s.g1 << 8) | s.b1
+          val c2 = (s.r2 << 16) | (s.g2 << 8) | s.b2
+          var y = 0
+          while (y < s.h) {
+            var x = 0
+            while (x < s.w) {
+              img.setRGB(x, y, if (x < s.w / 2) c1 else c2); x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          ImgBytes(s.id, baos.toByteArray)
+        }
+      }(Encoders.product[ImgBytes]).toDF()
+
+  /** REAL image decode (javax.imageio) → per-image pixel statistics:
+    * dimensions + exact per-channel byte sums (integers — no float
+    * tolerance in the oracle compare). PNG is lossless, so for a
+    * synthesized image these are exactly recomputable from the generating
+    * parameters.
+    */
+  def decodeImageStats(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for id $id")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImgStats(id, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }(Encoders.product[ImgStats]).toDF()
+      .withColumnRenamed("id", idCol)
+
+  /** REAL decode → downsampled luma grid: the image is partitioned into a
+    * gx×gy cell grid (cell (cx,cy) covers pixels with
+    * floor(x·gx/width)=cx, floor(y·gy/height)=cy — every pixel in exactly
+    * one cell regardless of divisibility) and each cell emits its mean
+    * ITU-R 601 luma (0.299 r + 0.587 g + 0.114 b). Output one row per
+    * (id, cell) — the flattened "thumbnail embedding" a near-dup or
+    * perceptual-hash stage consumes.
+    */
+  def decodeLumaGrid(df: DataFrame, idCol: String, binCol: String,
+                     gx: Int, gy: Int): DataFrame = {
+    require(gx > 0 && gy > 0, "grid dims must be positive")
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for id $id")
+          val w = img.getWidth; val h = img.getHeight
+          val sums = Array.ofDim[Double](gx * gy)
+          val counts = Array.ofDim[Long](gx * gy)
+          var y = 0
+          while (y < h) {
+            val cy = y * gy / h
+            var x = 0
+            while (x < w) {
+              val cx = x * gx / w
+              val p = img.getRGB(x, y)
+              val luma = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+                0.114 * (p & 0xFF)
+              sums(cy * gx + cx) += luma; counts(cy * gx + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until gy).iterator.flatMap(cy => (0 until gx).iterator.map { cx =>
+            val i = cy * gx + cx
+            LumaCell(id, cx, cy, if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+          })
+        }
+      }(Encoders.product[LumaCell]).toDF()
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -317,15 +317,26 @@ object PointInTimeJoin {
     * `last(__payload_i, ignoreNulls)` — so each view's winner is exactly its
     * single-view merge winner. TTL qualification stays per view.
     *
+    * Created-ts filter mode fuses too (`filterByCreatedTs`): each view with
+    * a created column contributes a per-view visibility time
+    * `greatest(ts, created)` as its merge axis and a per-view running
+    * `max_by(payload_i, (ts, created, tiebreaks))` winner — exactly the
+    * single-view created-filter mechanics ([[enrichMerge]]), per view,
+    * under the same single sort. Views without a created column keep the
+    * running-`last` winner; the two winner kinds coexist in one window
+    * pass because every view's payload and order columns are null on
+    * every other view's rows.
+    *
     * Preconditions (the caller, [[graft.engine.Historical]], falls back to
     * the sequential fold otherwise): ≥ 2 views, identical non-empty
-    * joinKeys, no created-ts filter mode, non-Date entity timestamp.
+    * joinKeys, non-Date entity timestamp.
     */
   def enrichMergeFused(
       entityDf: DataFrame,
       views: Seq[FeatureView],
       entityTsCol: String = "event_ts",
       fullFeatureNames: Boolean = false,
+      filterByCreatedTs: Boolean = false,
       precomputedBounds: Option[Row] = None
   ): DataFrame = {
     val keys = views.head.joinKeys
@@ -346,17 +357,42 @@ object PointInTimeJoin {
     val etsType = probe.schema(entityTsCol).dataType
     val minTs = lit("1900-01-01 00:00:00").cast("timestamp")
 
-    // per-view column descriptors: payload struct + (ord name, expr, type)
+    // per-view column descriptors: payload struct + (ord name, expr, type).
+    // A created-filtered view additionally carries (a) a visibility merge
+    // axis greatest(ts, created) and (b) an order STRUCT for its running
+    // max_by — null on every other view's rows and on probes, so max_by
+    // skips them (mirrors the single-view created-filter path).
     case class ViewCols(
         view: FeatureView, src: DataFrame, feats: Seq[String],
+        visTime: Column,
         payload: Column, payloadType: org.apache.spark.sql.types.DataType,
+        ordStruct: Option[(String, Column, org.apache.spark.sql.types.DataType)],
         ords: Seq[(String, Column, org.apache.spark.sql.types.DataType)])
     val infos = views.zipWithIndex.map { case (v, i) =>
-      val src = prepared(i)._1
+      val createdFilter = filterByCreatedTs && v.createdTsCol.nonEmpty
+      // created-filter mode hides NULL-created rows (SQL semantics of the
+      // reference's `created <= entity_ts` join predicate) — same filter
+      // as the single-view path; PropertySpec pins the equivalence
+      val src =
+        if (createdFilter) prepared(i)._1.filter(col(v.createdTsCol.get).isNotNull)
+        else prepared(i)._1
       val feats = v.resolvedFeatures
       val payload = struct((feats.map(col) :+
         col(v.tsCol).cast(etsType).as("__fts")): _*)
       val payloadType = src.select(payload.as("p")).schema("p").dataType
+      val visTime =
+        if (createdFilter)
+          greatest(col(v.tsCol), col(v.createdTsCol.get)).cast(etsType)
+        else col(v.tsCol).cast(etsType)
+      val ordStruct =
+        if (createdFilter) {
+          val e = struct((col(v.tsCol).cast(etsType).as("__o_ts") +:
+            (v.createdTsCol.map(c => coalesce(col(c), minTs).as("__o_cr")).toSeq ++
+              v.tieBreakCols.zipWithIndex.map { case (c, k) =>
+                col(c).as(s"__o_tb$k")
+              })): _*)
+          Some((s"__mord_$i", e, src.select(e.as("o")).schema("o").dataType))
+        } else None
       val ords =
         v.createdTsCol.map { c =>
           val e = coalesce(col(c), minTs)
@@ -365,10 +401,13 @@ object PointInTimeJoin {
           v.tieBreakCols.zipWithIndex.map { case (c, k) =>
             (s"__ord_${i}_tb$k", col(c), src.schema(c).dataType)
           }
-      ViewCols(v, src, feats, payload, payloadType, ords)
+      ViewCols(v, src, feats, visTime, payload, payloadType, ordStruct, ords)
     }
     val allOrds = infos.zipWithIndex.flatMap { case (inf, i) =>
       inf.ords.map { case (name, e, dt) => (name, i, e, dt) }
+    }
+    val allOrdStructs = infos.zipWithIndex.flatMap { case (inf, i) =>
+      inf.ordStruct.map { case (name, e, dt) => (name, i, e, dt) }
     }
 
     def sideSelect(df: DataFrame, head: Seq[Column], ownerIdx: Int): DataFrame =
@@ -380,11 +419,14 @@ object PointInTimeJoin {
           } ++
           allOrds.map { case (name, owner, e, dt) =>
             if (owner == ownerIdx) e.as(name) else lit(null).cast(dt).as(name)
+          } ++
+          allOrdStructs.map { case (name, owner, e, dt) =>
+            if (owner == ownerIdx) e.as(name) else lit(null).cast(dt).as(name)
           }: _*)
 
     val fSides = infos.zipWithIndex.map { case (inf, i) =>
       sideSelect(inf.src, Seq(
-        col(inf.view.tsCol).cast(etsType).as("__t"), lit(0).as("__p"),
+        inf.visTime.as("__t"), lit(0).as("__p"),
         lit(null).cast(etsType).as("__ets")), i)
     }
     val pSide = sideSelect(probe, Seq(
@@ -398,9 +440,18 @@ object PointInTimeJoin {
 
     val slim = entityDf.columns.toSet == (keys :+ entityTsCol).toSet
     val unioned = (fSides :+ pSide).reduce(_ unionByName _)
-    val withBests = infos.indices.foldLeft(unioned)((acc, i) =>
-      acc.withColumn(s"__best_$i",
-        last(col(s"__payload_$i"), ignoreNulls = true).over(w)))
+    // per-view running winner: the sorted-stream `last` normally; a running
+    // max_by over the view's own (ts, created, tiebreaks) struct in
+    // created-filter mode, where the stream is visibility-ordered rather
+    // than winner-ordered (other views' rows and probes carry a null ord
+    // and are skipped)
+    val withBests = infos.zipWithIndex.foldLeft(unioned) { case (acc, (inf, i)) =>
+      val best = inf.ordStruct match {
+        case Some((name, _, _)) => max_by(col(s"__payload_$i"), col(name)).over(w)
+        case None => last(col(s"__payload_$i"), ignoreNulls = true).over(w)
+      }
+      acc.withColumn(s"__best_$i", best)
+    }
     val filled =
       if (slim) withBests.filter(col("__p") === 1)
       else {

@@ -18,29 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** First-4-hex-digit md5 bucket of the id as a NUMBER in [0, 65535] —
-    * 65536 buckets, uniform, engine-portable (md5 of the decimal string is
-    * identical everywhere; hex→int is standard SQL `conv`/`from_hex`).
-    * Numeric, not lexicographic: for fixed-width hex the two orders agree,
-    * but a cumulative fraction of exactly 1.0 (legal: a trailing
-    * zero-fraction split) needs cutoff 65536 — representable as a number,
-    * while its 5-char hex rendering "10000" compares BELOW almost every
-    * 4-char bucket and would misroute ~94 % of rows.
+  /** Bucket count: first-8-hex-digit md5 space, 2³² buckets. Wide enough
+    * for 1e-6-grade smoke-sample fractions and mixture weights (the old
+    * 4-hex 65536-bucket space loudly rejected anything finer than ~1.5e-5);
+    * still a plain long and still an 8-char fixed-width hex prefix an
+    * oracle can compare lexicographically.
+    */
+  private[sample] val Buckets = 1L << 32
+
+  /** First-8-hex-digit md5 bucket of the id as a NUMBER in [0, 2³²−1] —
+    * uniform, engine-portable (md5 of the decimal string is identical
+    * everywhere; hex→int is standard SQL `conv`/`from_hex`). Numeric, not
+    * lexicographic: for fixed-width hex the two orders agree, but a
+    * cumulative fraction of exactly 1.0 (legal: a trailing zero-fraction
+    * split) needs cutoff 2³² — representable as a number, while its 9-char
+    * hex rendering compares BELOW almost every 8-char bucket and would
+    * misroute ~94 % of rows.
     */
   private def hashBucket(idCol: String): Column =
-    conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
 
-  /** Cumulative-fraction cutoffs as bucket numbers in [0, 65536]. */
+  /** Cumulative-fraction cutoffs as bucket numbers in [0, 2³²]. */
   private[sample] def cutoffs(fractions: Seq[Double]): Seq[Long] = {
     val cum = fractions.scanLeft(0.0)(_ + _).tail
-    cum.init.map(f => math.min(math.floor(f * 65536).toLong, 65536L))
+    cum.init.map(f => math.min(math.floor(f * Buckets).toLong, Buckets))
   }
 
   /** Assign every row to a named split (e.g. train/val/test) with the given
     * fractions, deterministically by id hash. Zero shuffles — a narrow
     * projection that composes with any downstream partitioning. Fractions
-    * must sum to 1; realized sizes are within ~1/256 of the target (65536
-    * hash buckets).
+    * must sum to 1; cutoff quantization error is at most 2⁻³².
     */
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
@@ -59,10 +66,10 @@ object Sampling {
     */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
-    // 65536 hash buckets cannot express rates below 1/65536 — the filter
+    // 2³² hash buckets cannot express rates below 2⁻³² — the filter
     // would silently match nothing
-    require(fraction >= 1.0 || fraction * 65536 >= 1.0,
-      s"fraction $fraction is below the 1/65536 bucket granularity")
+    require(fraction >= 1.0 || fraction * Buckets >= 1.0,
+      s"fraction $fraction is below the 1/$Buckets bucket granularity")
     if (fraction >= 1.0) df
     else df.filter(hashBucket(idCol) < lit(cutoffs(Seq(fraction, 1 - fraction)).head))
   }
@@ -143,16 +150,16 @@ object Sampling {
     require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 10000),
       "weights must be in [0, 10000]")
     // same loud sub-granularity contract as hashSample: a fractional part
-    // below 1/65536 would silently truncate to the integral weight
+    // below 2⁻³² would silently truncate to the integral weight
     (weights.values ++ Seq(default)).foreach { w =>
       val frac = w - math.floor(w)
-      require(frac == 0.0 || frac * 65536 >= 1.0,
-        s"weight $w has a fractional part below the 1/65536 bucket granularity")
+      require(frac == 0.0 || frac * Buckets >= 1.0,
+        s"weight $w has a fractional part below the 1/$Buckets bucket granularity")
     }
     val w = coalesce(element_at(typedLit(weights), col(strataCol)), lit(default))
     val wFloor = floor(w).cast("int")
-    // fractional-part cutoff in 65536 buckets; frac < 1 so cutoff ≤ 65535
-    val cutoff = floor((w - floor(w)) * 65536).cast("long")
+    // fractional-part cutoff in 2³² buckets; frac < 1 so cutoff ≤ 2³²−1
+    val cutoff = floor((w - floor(w)) * Buckets).cast("long")
     val c = col("copy_idx")
     // concat, NOT concat_ws: a NULL id must yield a NULL key (dropping the
     // fractional copy, matching SQL-engine semantics) — concat_ws would
@@ -160,7 +167,7 @@ object Sampling {
     // NULL-id row in a stratum the same correlated verdict
     val bucket = conv(substring(
       md5(concat(col(idCol).cast("string"), lit(":"), c.cast("string"))),
-      1, 4), 16, 10).cast("long")
+      1, 8), 16, 10).cast("long")
     df.select(col("*"), explode(sequence(lit(0), wFloor)).as("copy_idx"))
       .filter(c < wFloor || bucket < cutoff)
   }

@@ -60,6 +60,26 @@ object Sinks {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** S6 (Iceberg half): schema-aligned append into an Iceberg TABLE via the
+    * DataFrameWriterV2 (`writeTo(tbl).append()`), the catalog-table dual of
+    * [[appendWithSchemaCast]]'s path append (reference spark.py:357-407
+    * appends through the session catalog). Columns align to the LIVE table
+    * schema by default (same case-insensitive, JSON-serializing rules), so
+    * a reordered or over-wide frame appends cleanly; each append is one
+    * Iceberg snapshot commit. Fails loudly when no Iceberg runtime is on
+    * the classpath — never a silent parquet fallback.
+    */
+  def appendIceberg(
+      df: DataFrame,
+      table: String,
+      target: Option[StructType] = None
+  ): Unit = {
+    require(IcebergSource.available(df.sparkSession),
+      s"appendIceberg('$table') needs iceberg-spark-runtime on the classpath")
+    val tgt = target.getOrElse(df.sparkSession.table(table).schema)
+    alignToSchema(df, tgt).writeTo(table).append()
+  }
+
   /** S7/U7: executor-side write path (reference `mapInArrow` + `.count()`
     * to force, spark/utils.py:128-225): the writer runs once per partition
     * with the partition's rows — the shape a batched online-store client

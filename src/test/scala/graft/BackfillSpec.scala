@@ -56,6 +56,34 @@ class BackfillSpec extends SparkTestBase {
       base.select("conv_id", "turn_idx", "ds")).isEmpty)
   }
 
+  test("two interleaved resumes run each partition exactly once; manifests consistent") {
+    import java.util.concurrent.CyclicBarrier
+    val nParts = source.select("ds").distinct().count()
+    val barrier = new CyclicBarrier(2)
+    val results = new Array[Seq[Backfill.PartitionResult]](2)
+    val threads = (0 to 1).map { i =>
+      new Thread(() => {
+        barrier.await() // both drivers list the same pending set
+        results(i) = Backfill.run(spark, source, "ds",
+          s"$tmp/out_race", s"$tmp/ckpt_race", job, lookbackPartitions = 1)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val all = results(0).map(_.partition) ++ results(1).map(_.partition)
+    // the per-partition lock + isComplete re-check means no partition is
+    // claimed by both drivers, and together they cover everything
+    assert(all.distinct.length == all.length,
+      s"a partition ran on both drivers: ${all.sorted.mkString(",")}")
+    assert(all.toSet.size.toLong == nParts, s"coverage gap: $all")
+    assert(Backfill.completedPartitions(s"$tmp/ckpt_race").length.toLong == nParts)
+    // racing drivers produced exactly the single-pass output
+    Backfill.run(spark, source, "ds", s"$tmp/out_single", s"$tmp/ckpt_single",
+      job, lookbackPartitions = 1)
+    val a = Backfill.readOutput(spark, s"$tmp/out_race")
+    val b = Backfill.readOutput(spark, s"$tmp/out_single")
+    assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("manifest carries lineage and metrics") {
     // runs after the previous test (same ckpt dir) — read one manifest
     val parts = Backfill.completedPartitions(s"$tmp/ckpt")

@@ -56,6 +56,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.keySet == Set(1L, 2L) && rows(1L).length == 8)
   }
 
+  test("REAL PNG round trip: encode on executors, ImageIO-decode exact pixel sums") {
+    val specs = Seq(
+      // (id, w, h, left rgb, right rgb) — odd width exercises the
+      // floor(w/2) split; saturated channels exercise byte masking
+      (10L, 5, 3, 255, 0, 7, 0, 128, 255),
+      (11L, 4, 2, 1, 2, 3, 4, 5, 6))
+      .toDF("id", "w", "h", "r1", "g1", "b1", "r2", "g2", "b2")
+    val pngs = Multimodal.synthesizeTwoTonePng(specs)
+    // the payloads are REAL PNGs: the magic-byte sniffer agrees
+    val fmt = Multimodal.extractMeta(pngs, "id", "png")
+      .select("format").distinct().as[String].collect().toSeq
+    assert(fmt == Seq("png"), fmt.toString)
+    val stats = Multimodal.decodeImageStats(pngs, "id", "png")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // w=5: left 2 columns color1, right 3 color2, ×3 rows
+    assert(stats(10L) == ((10L, 5, 3, (2 * 255 + 3 * 0) * 3L,
+      (2 * 0 + 3 * 128) * 3L, (2 * 7 + 3 * 255) * 3L)), stats(10L).toString)
+    assert(stats(11L) == ((11L, 4, 2, (2 * 1 + 2 * 4) * 2L,
+      (2 * 2 + 2 * 5) * 2L, (2 * 3 + 2 * 6) * 2L)), stats(11L).toString)
+    // a non-image payload fails LOUDLY, never returns garbage stats
+    val e = intercept[Exception] {
+      Multimodal.decodeImageStats(blobs.filter(col("id") === 2L), "id", "media")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("undecodable")), msgs(e).mkString(" | "))
+  }
+
+  test("luma grid: exact ITU-R 601 cell means on a decoded two-tone image") {
+    // 4×2 image, left half pure red (luma 76.245), right half pure blue
+    // (luma 29.07); a 2×1 grid puts each tone in its own cell exactly
+    val specs = Seq((20L, 4, 2, 255, 0, 0, 0, 0, 255))
+      .toDF("id", "w", "h", "r1", "g1", "b1", "r2", "g2", "b2")
+    val grid = Multimodal.decodeLumaGrid(
+      Multimodal.synthesizeTwoTonePng(specs), "id", "png", gx = 2, gy = 1)
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(grid.size == 2)
+    assert(math.abs(grid((0, 0)) - 0.299 * 255) < 1e-9, grid.toString)
+    assert(math.abs(grid((1, 0)) - 0.114 * 255) < 1e-9, grid.toString)
+  }
+
   test("stubbed multimodal embeddings feed the ANN operator end-to-end") {
     val emb = Multimodal.featurizeTable(blobs, "id", "media")
     val out = graft.sim.Ann.bruteForceTopK(

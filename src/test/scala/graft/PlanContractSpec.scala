@@ -115,6 +115,32 @@ class PlanContractSpec extends SparkTestBase {
       out.queryExecution.executedPlan)
   }
 
+  test("fused created-filter multi-view retrieval is ONE shuffle") {
+    val src1 = (1 to 500).map { i =>
+      (s"conv${i % 20}", new Timestamp(1700000000000L + i * 60000L), i, s"role${i % 3}")
+    }.toDF("conv_id", "ts", "turn_idx", "role")
+    val src2 = (1 to 300).map { i =>
+      (s"conv${i % 20}", new Timestamp(1700000000000L + i * 90000L),
+        new Timestamp(1700000000000L + i * 90000L + (i % 3) * 86400000L), i * 1.5)
+    }.toDF("conv_id", "ts", "created_ts", "score")
+    val entity = (1 to 50).map { i =>
+      (s"conv${i % 20}", new Timestamp(1700000000000L + i * 600000L))
+    }.toDF("conv_id", "event_ts")
+    val views = Seq(
+      FeatureView("turns", src1, Seq("conv_id"), "ts",
+        ttlSeconds = 86400L, features = Seq("turn_idx", "role")),
+      FeatureView("quality", src2, Seq("conv_id"), "ts",
+        createdTsCol = Some("created_ts"), features = Seq("score")))
+    // created-ts filter mode used to fall back to the sequential fold
+    // (N shuffles + join-backs); the per-view visibility-time + running
+    // max_by fusion keeps it at union -> ONE exchange -> window
+    val out = engine.Historical.getHistoricalFeatures(entity, views,
+      fullFeatureNames = true, filterByCreatedTs = true)
+    assert(shuffles(out) == 1,
+      "fused created-filter multi-view retrieval grew shuffles:\n" +
+        out.queryExecution.executedPlan)
+  }
+
   test("TTL-derived scan bounds push into the parquet source scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_plancontract").toString
     (1 to 500).map { i =>

@@ -280,6 +280,41 @@ class PointInTimeJoinSpec extends SparkTestBase {
     assert(e.getMessage.contains("most-significant-first"), e.getMessage)
   }
 
+  test("fused created-filter multi-view equals the sequential per-view fold") {
+    // one view WITHOUT a created column (running-last winner) and one WITH
+    // (visibility time + running max_by), fused in a single window pass —
+    // must match the sequential enrich fold row for row, including NULL
+    // created rows (hidden) and future created rows (deferred visibility)
+    val v1 = view(4 * 3600L).copy(features = Seq("turn_idx"))
+    val qsrc = spark.createDataset(turns).toDF()
+      .select(col("conv_id"), col("ts"),
+        when(col("turn_idx") % 5 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("ts") + expr("INTERVAL 1 HOUR") * (col("turn_idx") % 3))
+          .as("created_ts"),
+        (col("turn_idx") * 1.5).as("score"),
+        col("turn_idx"))
+    val v2 = FeatureView("quality", qsrc, Seq("conv_id"), "ts",
+      Some("created_ts"), 0L, features = Seq("score"),
+      tieBreakCols = Seq("turn_idx"))
+    val fused = PointInTimeJoin.enrichMergeFused(entityDf, Seq(v1, v2),
+      "event_ts", fullFeatureNames = true, filterByCreatedTs = true)
+    val sequential = Seq(v1, v2).foldLeft(entityDf)((acc, v) =>
+      PointInTimeJoin.enrich(acc, v, "event_ts", fullFeatureNames = true,
+        filterByCreatedTs = true))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "event_ts", "label",
+        "turn_stats__turn_idx", "quality__score").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+          Option(r.getAs[Any](3)), Option(r.getAs[Any](4)))).toSet
+    assert(rows(fused) == rows(sequential))
+    // sanity: the created filter actually bites (some rows differ from the
+    // unfiltered retrieval)
+    val unfiltered = PointInTimeJoin.enrichMergeFused(entityDf, Seq(v1, v2),
+      "event_ts", fullFeatureNames = true, filterByCreatedTs = false)
+    assert(rows(fused) != rows(unfiltered),
+      "fixture too weak: created filter changed nothing")
+  }
+
   test("quoted literal sections in datePartitionFormat don't fail the order guard") {
     // 'month' contains pattern letters (m, o...) that are LITERAL text, not
     // fields; the guard must strip quoted sections before checking the

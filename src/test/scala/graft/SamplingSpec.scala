@@ -168,9 +168,24 @@ class SamplingSpec extends SparkTestBase {
     // integral 2 copies, same as an engine evaluating NULL || ':' || c
     val nullCounts = out.filter(col("doc_id").isNull).count()
     assert(nullCounts == 4L, s"2 NULL-id rows × floor(2.5) copies, got $nullCounts")
-    // a fractional part below 1/65536 is rejected, not silently truncated
+    // a fractional part below the 2⁻³² bucket granularity is rejected,
+    // not silently truncated; 1e-6-grade fractions (old 4-hex limit was
+    // ~1.5e-5) are now in range
     intercept[IllegalArgumentException] {
-      Sampling.reweight(docs, "doc_id", "source", Map("a" -> 1.000001))
+      Sampling.reweight(docs, "doc_id", "source", Map("a" -> (1.0 + 1e-10)))
+    }
+    Sampling.reweight(docs, "doc_id", "source", Map("a" -> 1.000001))
+  }
+
+  test("hashSample supports 1e-6-grade fractions (2^32 bucket space)") {
+    // below the old 1/65536 granularity — used to be a hard require
+    val big = (0L until 200000L).toDF("doc_id")
+    val out = Sampling.hashSample(big, "doc_id", 2e-5).count()
+    // λ = 4 expected; deterministic, just pin a sane band
+    assert(out >= 1 && out <= 20, s"2e-5 of 200k rows gave $out")
+    // still loud below the new granularity
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(big, "doc_id", 1e-10)
     }
   }
 

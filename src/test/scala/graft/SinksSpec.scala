@@ -113,6 +113,41 @@ class SinksSpec extends SparkTestBase {
     assert(back.select("__log_timestamp").distinct().count() == 1)
   }
 
+  test("appendIceberg fails loudly without the Iceberg runtime") {
+    assume(!graft.sources.IcebergSource.available(spark),
+      "runtime present — covered by the e2e activation test below")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.appendIceberg(Seq((1L, "a")).toDF("id", "v"), "cat.db.t")
+    }
+    assert(e.getMessage.contains("iceberg-spark-runtime"), e.getMessage)
+  }
+
+  /** Self-activating e2e for the S6 Iceberg-append half (mirrors
+    * BackfillSpec's scan-side activation test): skipped — not silently
+    * passed — while `iceberg-spark-runtime` is off the classpath; on a
+    * real deployment it exercises create → aligned append → snapshot
+    * advance with no code change.
+    */
+  test("iceberg e2e: appendIceberg aligns columns and advances snapshots (skips without runtime)") {
+    assume(graft.sources.IcebergSource.available(spark),
+      "iceberg-spark-runtime not on classpath — explicit tested skip")
+    val warehouse = Files.createTempDirectory("graft_ice_sink").toString
+    spark.conf.set("spark.sql.catalog.graft_ices", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ices.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.graft_ices.warehouse", warehouse)
+    Seq((1L, "a")).toDF("id", "v")
+      .writeTo("graft_ices.db.t").using("iceberg").createOrReplace()
+    val snap1 = graft.sources.IcebergSource.currentSnapshotId(spark, "graft_ices.db.t")
+    // reordered + extra column: alignToSchema must reconcile to the live
+    // table schema before the v2 append
+    Sinks.appendIceberg(
+      Seq(("b", 0, 2L)).toDF("v", "extra", "id"), "graft_ices.db.t")
+    val snap2 = graft.sources.IcebergSource.currentSnapshotId(spark, "graft_ices.db.t")
+    assert(snap1.nonEmpty && snap2.nonEmpty && snap1 != snap2,
+      s"append must commit a new snapshot: $snap1 -> $snap2")
+    assert(spark.table("graft_ices.db.t").count() == 2L)
+  }
+
   test("monitoring DDL is idempotent and creates the four tables") {
     val t1 = Sinks.ensureMonitoringTables(spark, "graft_t")
     val t2 = Sinks.ensureMonitoringTables(spark, "graft_t") // no-op re-run
