@@ -22,9 +22,11 @@ import scala.jdk.CollectionConverters._
   * written atomically (temp file + move) so a crash mid-write re-runs that
   * partition rather than trusting a torn file. Partition outputs are
   * `overwrite` so re-running a partition is idempotent. Two drivers resuming
-  * the same backfill serialize per partition on an OS file lock
-  * ([[Locks.withFileLock]]) with an isComplete re-check inside it, so each
-  * partition's job and manifest write happen exactly once across drivers.
+  * the same backfill SHARE the partition list: each partition is claimed with
+  * a non-blocking OS file lock ([[Locks.withTryFileLock]]) plus an isComplete
+  * re-check inside it — a partition another driver is running is skipped,
+  * not queued on — so each partition's job and manifest write happen exactly
+  * once across drivers and the drivers work disjoint partitions in parallel.
   *
   * Scale design: the *loop* is over source partitions (days of `ts` — the
   * Iceberg `days(ts)` layout; plain parquet `ds=` directories stand in here
@@ -86,9 +88,12 @@ object Backfill {
       // run (and CONCURRENTLY overwrite) the same partition output, which
       // mode("overwrite") does not make safe (one delete interleaving the
       // other's write leaves mixed files). The per-partition OS file lock
-      // serializes the claim, and the isComplete RE-CHECK inside it makes
-      // the late driver skip work the early one finished while it waited.
-      Locks.withFileLock(manifestPath(checkpointDir, p).toString) {
+      // makes the claim exclusive; tryLock (not a blocking lock) means a
+      // partition someone else is ALREADY running is simply skipped — the
+      // two drivers share the partition list instead of queueing — and the
+      // isComplete RE-CHECK inside the lock skips work that finished
+      // between the pending listing and the claim.
+      Locks.withTryFileLock(manifestPath(checkpointDir, p).toString) {
         if (isComplete(checkpointDir, p)) None
         else Some {
           val idx = partitions.indexOf(p)
@@ -115,7 +120,7 @@ object Backfill {
             sourceSnapshot)
           PartitionResult(p, "complete", inputRows, outputRows, dur)
         }
-      }
+      }.flatten // None = claimed by another driver OR completed meanwhile
     }.toSeq
   }
 

@@ -34,4 +34,29 @@ private[graft] object Locks {
       finally lock.release()
     } finally ch.close()
   }
+
+  /** Non-blocking variant: run `body` only if the lock is free RIGHT NOW,
+    * else return None without waiting. The work-sharing primitive — a
+    * driver that finds a partition claimed moves on to the next one
+    * instead of queueing behind the claimant (same-JVM overlap counts as
+    * busy, like a second process would).
+    */
+  def withTryFileLock[T](path: String)(body: => T): Option[T] = {
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val lockPath = target.resolveSibling(target.getFileName.toString + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      if (lock == null) None
+      else {
+        try Some(body)
+        finally lock.release()
+      }
+    } finally ch.close()
+  }
 }
