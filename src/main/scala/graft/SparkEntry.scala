@@ -45,6 +45,24 @@ object SparkEntry {
     Transcripts.fromEvents(s, dir)
       .withColumn("text_len", length(col("text")))
 
+  /** Deterministic two-tone image specs for the real-decode queries: one
+    * small w×h image per sampled event, dims and both RGB tones pure
+    * functions of event_id — so a SQL oracle recomputes every decoded
+    * pixel statistic from the parameters alone (PNG is lossless).
+    */
+  private def twoToneSpecFrame(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .filter(pmod(col("event_id"), lit(17)) === 0)
+      .select(col("event_id").as("id"),
+        (pmod(col("event_id"), lit(7)) + 3).cast("int").as("w"),
+        (pmod(col("event_id"), lit(5)) + 2).cast("int").as("h"),
+        pmod(col("event_id"), lit(256)).as("r1"),
+        pmod(col("event_id") * 7, lit(256)).as("g1"),
+        pmod(col("event_id") * 13, lit(256)).as("b1"),
+        pmod(col("event_id") * 31, lit(256)).as("r2"),
+        pmod(col("event_id") * 37, lit(256)).as("g2"),
+        pmod(col("event_id") * 41, lit(256)).as("b2"))
+
   // --- queries ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -721,22 +739,21 @@ object SparkEntry {
     // pixel sums. PNG is lossless, so DuckDB recomputes every column from
     // the generating parameters alone — the decode is oracle-checked, not
     // golden-pinned.
-    "mm_decode" -> ((s, dir) => {
-      val specs = s.read.parquet(s"$dir/events.parquet")
-        .filter(pmod(col("event_id"), lit(17)) === 0)
-        .select(col("event_id").as("id"),
-          (pmod(col("event_id"), lit(7)) + 3).cast("int").as("w"),
-          (pmod(col("event_id"), lit(5)) + 2).cast("int").as("h"),
-          pmod(col("event_id"), lit(256)).as("r1"),
-          pmod(col("event_id") * 7, lit(256)).as("g1"),
-          pmod(col("event_id") * 13, lit(256)).as("b1"),
-          pmod(col("event_id") * 31, lit(256)).as("r2"),
-          pmod(col("event_id") * 37, lit(256)).as("g2"),
-          pmod(col("event_id") * 41, lit(256)).as("b2"))
+    "mm_decode" -> ((s, dir) =>
       multimodal.Multimodal.decodeImageStats(
-        multimodal.Multimodal.synthesizeTwoTonePng(specs), "id", "png")
-        .withColumnRenamed("id", "event_id")
-    }),
+        multimodal.Multimodal.synthesizeTwoTonePng(twoToneSpecFrame(s, dir)),
+        "id", "png")
+        .withColumnRenamed("id", "event_id")),
+    // REAL decode → downsampled 2×2 luma grid: pixel count and EXACT
+    // integer milli-luma sum per cell (ITU-R 601 weights ×1000), so DuckDB
+    // recomputes every cell from the generating parameters with pure
+    // integer arithmetic — the perceptual-thumbnail stage, oracle-checked.
+    "mm_luma_grid" -> ((s, dir) =>
+      multimodal.Multimodal.decodeLumaGrid(
+        multimodal.Multimodal.synthesizeTwoTonePng(twoToneSpecFrame(s, dir)),
+        "id", "png", gx = 2, gy = 2)
+        .select(col("id").as("event_id"), col("cell_x"), col("cell_y"),
+          col("n_px"), col("sum_luma_milli"))),
     // ----------------------------------------------------------- monitoring
     "stats_value" -> ((s, dir) =>
       Profile.numericStats(s.read.parquet(s"$dir/events.parquet"), "value")),
@@ -1755,6 +1772,25 @@ object SparkEntry {
         |  CAST(h * ((w//2)*g1 + (w - w//2)*g2) AS BIGINT) AS sum_g,
         |  CAST(h * ((w//2)*b1 + (w - w//2)*b2) AS BIGINT) AS sum_b
         |FROM spec""".stripMargin),
+    // exact 2×2 luma grid of the same synthesized PNGs: enumerate every
+    // pixel (w ≤ 9, h ≤ 6), assign cells by the same floor(x·gx/w) rule the
+    // decoder uses, and sum integer milli-luma (299r+587g+114b) per cell —
+    // pure integer arithmetic, no float tolerance
+    "mm_luma_grid" -> withTables(
+      """, spec AS (SELECT event_id,
+        |    CAST(event_id % 7 + 3 AS INT) AS w, CAST(event_id % 5 + 2 AS INT) AS h,
+        |    event_id % 256 AS r1, (event_id*7) % 256 AS g1, (event_id*13) % 256 AS b1,
+        |    (event_id*31) % 256 AS r2, (event_id*37) % 256 AS g2, (event_id*41) % 256 AS b2
+        |  FROM events WHERE event_id % 17 = 0),
+        |xs AS (SELECT unnest(range(0, 9)) AS x), ys AS (SELECT unnest(range(0, 6)) AS y),
+        |px AS (SELECT s.event_id,
+        |    CAST(x * 2 // s.w AS INT) AS cell_x, CAST(y * 2 // s.h AS INT) AS cell_y,
+        |    CASE WHEN x < s.w // 2 THEN 299*s.r1 + 587*s.g1 + 114*s.b1
+        |         ELSE 299*s.r2 + 587*s.g2 + 114*s.b2 END AS lm
+        |  FROM spec s CROSS JOIN xs CROSS JOIN ys WHERE x < s.w AND y < s.h)
+        |SELECT event_id, cell_x, cell_y, count(*) AS n_px,
+        |  CAST(sum(lm) AS BIGINT) AS sum_luma_milli
+        |FROM px GROUP BY 1, 2, 3""".stripMargin),
 
     "stats_value" -> withTables(
       """SELECT count(*) AS n_rows, count(value) AS n_nonnull,

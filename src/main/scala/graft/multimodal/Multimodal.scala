@@ -142,7 +142,8 @@ object Multimodal {
   case class ImgBytes(id: Long, png: Array[Byte])
   case class ImgStats(id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
-  case class LumaCell(id: Long, cell_x: Int, cell_y: Int, mean_luma: Double)
+  case class LumaCell(id: Long, cell_x: Int, cell_y: Int, n_px: Long,
+      sum_luma_milli: Long, mean_luma: Double)
 
   /** Encode one real PNG per row from an [[ImgSpec]]-shaped frame
     * (columns id, w, h, r1..b2). Output (id, png binary).
@@ -206,10 +207,12 @@ object Multimodal {
   /** REAL decode → downsampled luma grid: the image is partitioned into a
     * gx×gy cell grid (cell (cx,cy) covers pixels with
     * floor(x·gx/width)=cx, floor(y·gy/height)=cy — every pixel in exactly
-    * one cell regardless of divisibility) and each cell emits its mean
-    * ITU-R 601 luma (0.299 r + 0.587 g + 0.114 b). Output one row per
-    * (id, cell) — the flattened "thumbnail embedding" a near-dup or
-    * perceptual-hash stage consumes.
+    * one cell regardless of divisibility) and each cell emits its pixel
+    * count, its EXACT integer milli-luma sum (Σ 299·r + 587·g + 114·b —
+    * the ITU-R 601 weights ×1000, so an oracle recomputes it with integer
+    * arithmetic and no float tolerance), and the derived mean luma
+    * (sum/1000/n). Output one row per (id, cell) — the flattened
+    * "thumbnail embedding" a near-dup or perceptual-hash stage consumes.
     */
   def decodeLumaGrid(df: DataFrame, idCol: String, binCol: String,
                      gx: Int, gy: Int): DataFrame = {
@@ -222,25 +225,28 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"undecodable image payload for id $id")
           val w = img.getWidth; val h = img.getHeight
-          val sums = Array.ofDim[Double](gx * gy)
+          val sums = Array.ofDim[Long](gx * gy)
           val counts = Array.ofDim[Long](gx * gy)
           var y = 0
           while (y < h) {
-            val cy = y * gy / h
+            // long intermediate: y·gy (and x·gx) can overflow Int on
+            // gigapixel scans long before the row count does
+            val cy = (y.toLong * gy / h).toInt
             var x = 0
             while (x < w) {
-              val cx = x * gx / w
+              val cx = (x.toLong * gx / w).toInt
               val p = img.getRGB(x, y)
-              val luma = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
-                0.114 * (p & 0xFF)
-              sums(cy * gx + cx) += luma; counts(cy * gx + cx) += 1
+              val lumaMilli = 299L * ((p >> 16) & 0xFF) +
+                587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+              sums(cy * gx + cx) += lumaMilli; counts(cy * gx + cx) += 1
               x += 1
             }
             y += 1
           }
           (0 until gy).iterator.flatMap(cy => (0 until gx).iterator.map { cx =>
             val i = cy * gx + cx
-            LumaCell(id, cx, cy, if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+            LumaCell(id, cx, cy, counts(i), sums(i),
+              if (counts(i) > 0) sums(i) / 1000.0 / counts(i) else 0.0)
           })
         }
       }(Encoders.product[LumaCell]).toDF()

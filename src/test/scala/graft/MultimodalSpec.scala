@@ -92,11 +92,15 @@ class MultimodalSpec extends SparkTestBase {
       .toDF("id", "w", "h", "r1", "g1", "b1", "r2", "g2", "b2")
     val grid = Multimodal.decodeLumaGrid(
       Multimodal.synthesizeTwoTonePng(specs), "id", "png", gx = 2, gy = 1)
-      .as[(Long, Int, Int, Double)].collect()
-      .map(r => (r._2, r._3) -> r._4).toMap
+      .as[(Long, Int, Int, Long, Long, Double)].collect()
+      .map(r => (r._2, r._3) -> ((r._4, r._5, r._6))).toMap
     assert(grid.size == 2)
-    assert(math.abs(grid((0, 0)) - 0.299 * 255) < 1e-9, grid.toString)
-    assert(math.abs(grid((1, 0)) - 0.114 * 255) < 1e-9, grid.toString)
+    // integer milli-luma sums are EXACT: 4 px of pure red / pure blue
+    assert(grid((0, 0)) == ((4L, 4L * 299 * 255, 299 * 255 / 1000.0)), grid.toString)
+    assert(grid((1, 0))._1 == 4L, grid.toString)
+    assert(grid((1, 0))._2 == 4L * 114 * 255, grid.toString)
+    assert(math.abs(grid((0, 0))._3 - 0.299 * 255) < 1e-9, grid.toString)
+    assert(math.abs(grid((1, 0))._3 - 0.114 * 255) < 1e-9, grid.toString)
   }
 
   test("stubbed multimodal embeddings feed the ANN operator end-to-end") {
