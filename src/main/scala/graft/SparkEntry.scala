@@ -598,6 +598,21 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       text.TextAnalysis.repetitionSignals(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // PII/URL redaction (corpus scrubbing): the documents table carries no
+    // addresses, so each doc gets a deterministic email + URL + IPv4
+    // appended from its id — the scrubber then has real matches and the
+    // oracle recomputes both counts and the scrubbed text with the same
+    // RE2-compatible patterns.
+    "text_redact" -> ((s, dir) =>
+      text.TextAnalysis.redact(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com via http://ex.example.com/d/"),
+            col("doc_id").cast("string"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string")).as("text")),
+        "doc_id", "text")),
     // Train/eval decontamination: benchmark = every 5th doc; training docs
     // sharing any word-5-gram with the benchmark set are dropped (13-gram
     // is the production default; 5 keeps overlap non-trivial at test
@@ -1691,6 +1706,30 @@ object SparkEntry {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |    ' +', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin),
+    // same synthesized-PII text, same stage order (URL -> email -> IP, each
+    // counted on the previous stage's output); the patterns avoid
+    // lookarounds so Java regex and DuckDB's RE2 agree exactly
+    "text_redact" -> withTables(
+      """, t AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example.com via http://ex.example.com/d/' ||
+        |      CAST(doc_id AS VARCHAR) ||
+        |      ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.' || CAST((doc_id*7) % 256 AS VARCHAR) AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text AS t0,
+        |    regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g') AS t1 FROM t),
+        |s2 AS (SELECT *, regexp_replace(t1,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(t2,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t3 FROM s2)
+        |SELECT doc_id, t3 AS clean_text,
+        |  CAST(len(regexp_extract_all(t0, 'https?://[^ ]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips
+        |FROM s3""".stripMargin),
     "text_repetition" -> withTables(
       """, tok AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws FROM documents),
         |wstat AS (SELECT doc_id, nc, len(ws) AS nw, len(list_distinct(ws)) AS nwd FROM tok),

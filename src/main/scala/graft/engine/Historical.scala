@@ -216,6 +216,18 @@ object Historical {
     val normalized = views.map { v =>
       if (v.joinKeys == keyCols) v
       else {
+        // a positional rename landing on a name the view ALREADY has (a
+        // non-key feature named like the canonical key, or keys that are
+        // the canonical names in swapped order) would duplicate the column
+        // — withColumnRenamed renames every match, so the dup surfaces as
+        // an ambiguous-reference error rows later or, worse, misfiled key
+        // values; fail here with the actual collision instead
+        v.joinKeys.zip(keyCols).foreach { case (from, to) =>
+          require(from == to || !v.mappedSource.columns.contains(to),
+            s"positional key mapping '$from' -> '$to' on view '${v.name}' " +
+              s"collides with its existing column '$to'; rename that column " +
+              "via fieldMapping first")
+        }
         val renamed = v.joinKeys.zip(keyCols).foldLeft(v.mappedSource) {
           case (df, (from, to)) => df.withColumnRenamed(from, to)
         }

@@ -150,6 +150,36 @@ object TextAnalysis {
         .as("top_bigram_char_frac"))
   }
 
+  // ------------------------------------------------------------- redaction
+  // PII/URL scrubbing — the standard pretraining corpus-cleaning stage
+  // (emails, URLs, bare IPv4s → placeholder tokens). Patterns avoid
+  // lookarounds/backreferences so Java regex (Spark) and RE2 (common SQL
+  // engines) agree character-for-character; replacement order is URL →
+  // email → IP, each counted on the PREVIOUS stage's output so an address
+  // inside a URL is never double-counted.
+
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact URLs, emails, and IPv4 literals from `textCol`. Output
+    * (id, clean_text, n_urls, n_emails, n_ips) — counts are per-stage
+    * match counts, clean_text has every match replaced by its placeholder.
+    * Zero-shuffle narrow map, like the rest of this pack.
+    */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, UrlPattern, "<URL>")
+    val t2 = regexp_replace(t1, EmailPattern, "<EMAIL>")
+    val t3 = regexp_replace(t2, Ipv4Pattern, "<IP>")
+    df.select(
+      col(idCol),
+      t3.as("clean_text"),
+      regexp_count(t0, lit(UrlPattern)).as("n_urls"),
+      regexp_count(t1, lit(EmailPattern)).as("n_emails"),
+      regexp_count(t2, lit(Ipv4Pattern)).as("n_ips"))
+  }
+
   /** Corpus n-gram statistics: the `k` word-`n`-grams with the highest
     * document frequency (distinct-docs count), ties broken alphabetically.
     * The frequency profile a pipeline uses for contamination screens and

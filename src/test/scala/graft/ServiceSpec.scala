@@ -107,5 +107,15 @@ class ServiceSpec extends SparkTestBase {
         Timestamp.valueOf("2026-01-02 00:00:00"), positionalKeys = true)
     }
     assert(e.getMessage.contains("share join keys"), e.getMessage)
+    // a positional rename landing on a column the view already has would
+    // silently duplicate it — hard error naming the collision instead
+    val d = Seq(("u1", 7L, t0, 5L)).toDF("uid", "user_id", "ts", "w")
+    val vd = FeatureView("vd", d, Seq("uid"), "ts", None, 0L,
+      features = Seq("w"), tieBreakCols = Seq("w"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.engine.Historical.nonEntityRetrieval(Seq(va, vd),
+        Timestamp.valueOf("2026-01-02 00:00:00"), positionalKeys = true)
+    }
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
   }
 }
