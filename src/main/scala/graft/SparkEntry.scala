@@ -863,9 +863,20 @@ object SparkEntry {
       // concurrent drivers reuse it instead of re-writing ~90 day
       // directories per invocation (the write dominated the timing and
       // breathed 2-3x with disk contention).
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      // Key = digest of the ABSOLUTE dir (lossy sanitization alone lets
+      // "a/b" and "a_b" collide — same fix as Backfill.safeFileName) plus
+      // a fingerprint of the source files (size+mtime), so regenerating
+      // the test data invalidates the cached copy instead of silently
+      // serving stale rows against a fresh oracle.
+      val srcFiles = Option(new java.io.File(s"$dir/events.parquet").listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+      val fingerprint = srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .sorted.mkString(",")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${new java.io.File(dir).getAbsolutePath}|$fingerprint"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_part_fixture_$safe/turns"
+        s"${System.getProperty("java.io.tmpdir")}/graft_part_fixture_$digest/turns"
       engine.Locks.withFileLock(s"$path.build") {
         if (!new java.io.File(s"$path/_SUCCESS").exists())
           Transcripts.fromEvents(s, dir)

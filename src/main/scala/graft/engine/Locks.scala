@@ -7,6 +7,28 @@ package graft.engine
   */
 private[graft] object Locks {
 
+  /** One cached, never-closed channel per lock path per JVM. POSIX fcntl
+    * record locks are per-PROCESS, per-FILE: closing ANY descriptor on the
+    * file drops every lock the process holds on it (the documented
+    * [[java.nio.channels.FileLock]] hazard), so an open/lock/close-per-call
+    * scheme lets thread B's failed claim silently void thread A's held
+    * lock. Keeping exactly one long-lived channel per path removes every
+    * close() from the locking hot path. The cache is tiny — one entry per
+    * manifest/registry file a driver touches.
+    */
+  private val channels =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.channels.FileChannel]()
+
+  private def channelFor(path: String): java.nio.channels.FileChannel = {
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val lockPath = target.resolveSibling(target.getFileName.toString + ".lock")
+    channels.computeIfAbsent(lockPath.toAbsolutePath.toString, p =>
+      java.nio.channels.FileChannel.open(java.nio.file.Paths.get(p),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE))
+  }
+
   /** Blocking OS [[java.nio.channels.FileLock]] on the sibling
     * `<name>.lock` file — never the target itself (locking the target
     * would race with atomic-rename writers). Same-JVM overlap (the JDK
@@ -15,24 +37,17 @@ private[graft] object Locks {
     * driver serialize exactly like two separate drivers.
     */
   def withFileLock[T](path: String)(body: => T): T = {
-    val target = java.nio.file.Paths.get(path)
-    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    val lockPath = target.resolveSibling(target.getFileName.toString + ".lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      var lock: java.nio.channels.FileLock = null
-      while (lock == null) {
-        try lock = ch.lock()
-        catch {
-          case _: java.nio.channels.OverlappingFileLockException =>
-            Thread.sleep(10)
-        }
+    val ch = channelFor(path)
+    var lock: java.nio.channels.FileLock = null
+    while (lock == null) {
+      try lock = ch.lock()
+      catch {
+        case _: java.nio.channels.OverlappingFileLockException =>
+          Thread.sleep(10)
       }
-      try body
-      finally lock.release()
-    } finally ch.close()
+    }
+    try body
+    finally lock.release()
   }
 
   /** Non-blocking variant: run `body` only if the lock is free RIGHT NOW,
@@ -42,21 +57,14 @@ private[graft] object Locks {
     * busy, like a second process would).
     */
   def withTryFileLock[T](path: String)(body: => T): Option[T] = {
-    val target = java.nio.file.Paths.get(path)
-    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    val lockPath = target.resolveSibling(target.getFileName.toString + ".lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock =
-        try ch.tryLock()
-        catch { case _: java.nio.channels.OverlappingFileLockException => null }
-      if (lock == null) None
-      else {
-        try Some(body)
-        finally lock.release()
-      }
-    } finally ch.close()
+    val ch = channelFor(path)
+    val lock =
+      try ch.tryLock()
+      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+    if (lock == null) None
+    else {
+      try Some(body)
+      finally lock.release()
+    }
   }
 }

@@ -74,9 +74,14 @@ object OnDemand {
     val prefixResolved: Seq[(String, String)] =
       v.inputs.filterNot(retrieved.columns.contains).flatMap { in =>
         val candidates = knownPrefixes match {
-          case Some(ps) => retrieved.columns.toSeq.filter(c =>
+          // An EMPTY prefix set means this retrieval resolved no views at
+          // all (request-data-only ODFVs over a frame from a PRIOR
+          // fullFeatureNames retrieval) — there is nothing to restrict
+          // against, so fall back to the permissive unique-suffix match
+          // rather than rejecting every prefixed candidate.
+          case Some(ps) if ps.nonEmpty => retrieved.columns.toSeq.filter(c =>
             c.endsWith(s"__$in") && ps.contains(c.dropRight(in.length + 2)))
-          case None => retrieved.columns.toSeq.filter(_.endsWith(s"__$in"))
+          case _ => retrieved.columns.toSeq.filter(_.endsWith(s"__$in"))
         }
         candidates match {
           case Seq(one) => Seq(one -> in)

@@ -23,6 +23,15 @@ object Sampling {
     * 4-hex 65536-bucket space loudly rejected anything finer than ~1.5e-5);
     * still a plain long and still an 8-char fixed-width hex prefix an
     * oracle can compare lexicographically.
+    *
+    * COMPATIBILITY CONTRACT: "deterministic by id hash" means deterministic
+    * FOR A FIXED BUCKET WIDTH. The prefix digits of md5 are mutually
+    * independent, so changing this width reassigns essentially every id
+    * (an id in `test` under a 4-hex cutoff lands in `train` under the
+    * 8-hex cutoff with probability ≈ 1 − fraction). Splits that must
+    * survive library upgrades should PERSIST the computed `split` column
+    * (Sinks.saveDataset / the durable registry), never recompute it across
+    * versions; this constant is fixed at 8 hex digits from here on.
     */
   private[sample] val Buckets = 1L << 32
 

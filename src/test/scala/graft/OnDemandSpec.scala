@@ -84,6 +84,24 @@ class OnDemandSpec extends SparkTestBase {
       "legacy__turn_idx (999) must never feed the ODFV")
   }
 
+  test("empty known-prefix set falls back to the permissive suffix match") {
+    // Chained retrieval: the frame comes from a PRIOR fullFeatureNames
+    // retrieval (carries turn_stats__turn_idx), and THIS application
+    // resolves no views at all — knownPrefixes = Some(Set()) must not
+    // reject the prefixed candidate (request-data-only ODFVs over a
+    // saved retrieval were valid before the prefix tightening).
+    val prior = Historical.getHistoricalFeatures(entity, Seq(view),
+      fullFeatureNames = true)
+    val odfv = OnDemandView("boost",
+      inputs = Seq("turn_idx"), outputs = Seq("idx2"),
+      transform = df => df.withColumn("idx2", col("turn_idx") * 2))
+    val out = OnDemand.applyAll(prior, Seq(odfv),
+      fullFeatureNames = true, knownPrefixes = Some(Set.empty))
+    assert(out.columns.contains("boost__idx2"), out.columns.mkString(","))
+    assert(out.filter(col("boost__idx2") =!=
+      col("turn_stats__turn_idx") * 2).isEmpty)
+  }
+
   test("missing request data fails BEFORE retrieval runs") {
     val odfv = OnDemandView("boost",
       inputs = Seq("turn_idx"), requestCols = Seq("req_mult"),
