@@ -63,6 +63,20 @@ object SparkEntry {
         pmod(col("event_id") * 37, lit(256)).as("g2"),
         pmod(col("event_id") * 41, lit(256)).as("b2"))
 
+  /** Deterministic sawtooth audio specs for the real-decode audio query:
+    * one short PCM16 clip per sampled event, rate/length/waveform all pure
+    * functions of event_id — so a SQL oracle recomputes every decoded
+    * sample statistic from the parameters alone (WAV/PCM is lossless).
+    */
+  private def sawtoothWavSpecFrame(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .filter(pmod(col("event_id"), lit(17)) === 0)
+      .select(col("event_id").as("id"),
+        (lit(8000) + pmod(col("event_id"), lit(3)) * 4000).cast("int").as("sample_rate"),
+        (lit(40) + pmod(col("event_id"), lit(160))).cast("int").as("n_samples"),
+        pmod(col("event_id") * 97 + 13, lit(65536)).as("step"),
+        pmod(col("event_id") * 31, lit(65536)).as("phase"))
+
   // --- queries ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -769,6 +783,17 @@ object SparkEntry {
         "id", "png", gx = 2, gy = 2)
         .select(col("id").as("event_id"), col("cell_x"), col("cell_y"),
           col("n_px"), col("sum_luma_milli"))),
+    // REAL audio decode (javax.sound.sampled, JDK-only — no external
+    // codec): synthesize one sawtooth PCM16 WAV per sampled event
+    // (executor-side encode), then DECODE the actual RIFF/WAVE bytes back
+    // to format fields + exact integer sample aggregates. PCM is lossless,
+    // so DuckDB recomputes every column from the generating parameters
+    // alone — the audio decode is oracle-checked, not golden-pinned.
+    "mm_audio_stats" -> ((s, dir) =>
+      multimodal.Multimodal.decodeAudioStats(
+        multimodal.Multimodal.synthesizeSawtoothWav(sawtoothWavSpecFrame(s, dir)),
+        "id", "wav")
+        .withColumnRenamed("id", "event_id")),
     // ----------------------------------------------------------- monitoring
     "stats_value" -> ((s, dir) =>
       Profile.numericStats(s.read.parquet(s"$dir/events.parquet"), "value")),
@@ -1841,6 +1866,26 @@ object SparkEntry {
         |SELECT event_id, cell_x, cell_y, count(*) AS n_px,
         |  CAST(sum(lm) AS BIGINT) AS sum_luma_milli
         |FROM px GROUP BY 1, 2, 3""".stripMargin),
+    // exact expected sample stats of the synthesized sawtooth WAV clips:
+    // sample(i) = (phase + i·step) mod 2^16 − 2^15, PCM is lossless, so
+    // the decoded aggregates equal the arithmetic ones — pure integer
+    // arithmetic, no float tolerance
+    "mm_audio_stats" -> withTables(
+      """, spec AS (SELECT event_id,
+        |    CAST(8000 + (event_id % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(40 + event_id % 160 AS INT) AS n_samples,
+        |    (event_id*97 + 13) % 65536 AS step, (event_id*31) % 65536 AS phase
+        |  FROM events WHERE event_id % 17 = 0),
+        |idx AS (SELECT unnest(range(0, 200)) AS i),
+        |samp AS (SELECT s.event_id, s.sample_rate,
+        |    CAST((s.phase + i * s.step) % 65536 - 32768 AS INT) AS v
+        |  FROM spec s JOIN idx ON i < s.n_samples)
+        |SELECT event_id, sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS INT) AS max_abs,
+        |  CAST(sum(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg
+        |FROM samp GROUP BY 1, 2""".stripMargin),
 
     "stats_value" -> withTables(
       """SELECT count(*) AS n_rows, count(value) AS n_nonnull,

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * **Still images decode for REAL**: the JDK ships `javax.imageio`
   * (PNG/JPEG/BMP/GIF need no external dependency), so
   * [[decodeImageStats]] / [[decodeLumaGrid]] run an actual pixel decode
-  * per row in the batched executor-side seam. Codecs the JDK lacks
-  * (video/audio) remain stubbed: [[stubFeaturize]] derives a deterministic
+  * per row in the batched executor-side seam. **Audio decodes for REAL
+  * too**: `javax.sound.sampled` handles RIFF/WAVE PCM with no external
+  * dependency — [[decodeAudioStats]] runs the actual container+PCM parse
+  * per row. The one genuinely stubbed modality is video (the JDK ships no
+  * video codec): [[stubFeaturize]] derives a deterministic
   * pseudo-embedding from the raw bytes (pure Catalyst, codegen'd) and
   * [[featurizeWithDecoder]] is the batched integration point where a
   * JNI/native codec would plug in. The Spark-side contract — schema,
@@ -252,4 +255,105 @@ object Multimodal {
       }(Encoders.product[LumaCell]).toDF()
       .withColumnRenamed("id", idCol)
   }
+
+  // ------------------------------------------------------------------ audio
+  // Real JDK-only audio codec path (javax.sound.sampled). RIFF/WAVE PCM
+  // needs no external dependency, so — like the PNG path above — the audio
+  // decode is REAL: payload bytes go through AudioSystem's container and
+  // format parse, not a stub. Same executor-side seam shape: encode and
+  // decode both run inside mapPartitions, one codec call per row.
+
+  /** Input spec for [[synthesizeSawtoothWav]]: an `n_samples`-frame mono
+    * PCM16 clip at `sample_rate` Hz whose waveform is the integer sawtooth
+    * sample(i) = (phase + i·step) mod 2^16 − 2^15. Deterministic
+    * test/benchmark audio source — the sandbox has no real audio corpus,
+    * and the integer recurrence makes every decoded sample exactly
+    * recomputable by an oracle from the generating parameters alone.
+    */
+  case class WavSpec(id: Long, sample_rate: Int, n_samples: Int,
+      step: Long, phase: Long)
+  case class WavBytes(id: Long, wav: Array[Byte])
+  case class AudioStats(id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, sum_abs: Long, max_abs: Int, n_nonneg: Long)
+
+  /** Encode one real RIFF/WAVE file (PCM signed 16-bit mono little-endian)
+    * per row from a [[WavSpec]]-shaped frame (columns id, sample_rate,
+    * n_samples, step, phase). Output (id, wav binary).
+    */
+  def synthesizeSawtoothWav(df: DataFrame): DataFrame =
+    df.select(col("id").cast("long"), col("sample_rate").cast("int"),
+        col("n_samples").cast("int"), col("step").cast("long"),
+        col("phase").cast("long"))
+      .as(Encoders.product[WavSpec])
+      .mapPartitions { rows =>
+        rows.map { s =>
+          require(s.sample_rate > 0 && s.n_samples > 0,
+            s"degenerate audio spec rate=${s.sample_rate} n=${s.n_samples} for id ${s.id}")
+          val pcm = Array.ofDim[Byte](s.n_samples * 2)
+          var i = 0
+          while (i < s.n_samples) {
+            // Long recurrence: phase + i·step stays well under 2^63 for any
+            // sane clip length, and the mod-2^16 wrap is the waveform
+            val v = (((s.phase + i * s.step) % 65536).toInt - 32768).toShort
+            pcm(2 * i) = (v & 0xFF).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s.sample_rate.toFloat, 16, 1, 2, s.sample_rate.toFloat, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, s.n_samples.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          WavBytes(s.id, baos.toByteArray)
+        }
+      }(Encoders.product[WavBytes]).toDF()
+
+  /** REAL audio decode (javax.sound.sampled) → per-clip sample statistics:
+    * parsed format fields (rate, channels, frame count) plus EXACT integer
+    * aggregates over the decoded PCM16 samples — Σ|v|, max|v|, and the
+    * count of non-negative samples. All integers, so the oracle compare
+    * needs no float tolerance; PCM is lossless, so for a synthesized clip
+    * these are exactly recomputable from the generating parameters.
+    */
+  def decodeAudioStats(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+                throw new IllegalArgumentException(
+                  s"undecodable audio payload for id $id", e)
+            }
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"id $id: expected PCM_SIGNED 16-bit audio, got $fmt")
+          val pcm = ais.readAllBytes()
+          val nFrames = pcm.length / fmt.getFrameSize
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          var sumAbs = 0L; var maxAbs = 0; var nNonNeg = 0L
+          var i = 0
+          while (i < nFrames * ch) {
+            val b0 = pcm(2 * i) & 0xFF; val b1 = pcm(2 * i + 1) & 0xFF
+            val v = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+            val a = math.abs(v)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            if (v >= 0) nNonNeg += 1
+            i += 1
+          }
+          AudioStats(id, fmt.getSampleRate.round, ch, nFrames.toLong,
+            sumAbs, maxAbs, nNonNeg)
+        }
+      }(Encoders.product[AudioStats]).toDF()
+      .withColumnRenamed("id", idCol)
 }

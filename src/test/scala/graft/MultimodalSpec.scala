@@ -103,6 +103,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(grid((1, 0))._3 - 0.114 * 255) < 1e-9, grid.toString)
   }
 
+  test("REAL WAV round trip: encode on executors, AudioSystem-decode exact sample stats") {
+    // tiny deterministic sawtooth clips; expected aggregates computed
+    // directly from the generating recurrence here, independently of the
+    // codec under test
+    val specs = Seq(
+      (30L, 8000, 5, 1000L, 0L),     // 0, 1000, 2000, 3000, 4000 (pre-offset)
+      (31L, 16000, 3, 40000L, 30000L)) // wraps mod 2^16: 30000, 4464, 44464
+      .toDF("id", "sample_rate", "n_samples", "step", "phase")
+    val wavs = Multimodal.synthesizeSawtoothWav(specs)
+    // the payloads are REAL RIFF/WAVE files: the magic-byte sniffer agrees
+    val fmt = Multimodal.extractMeta(wavs, "id", "wav")
+      .select("format").distinct().as[String].collect().toSeq
+    assert(fmt == Seq("riff-wav"), fmt.toString)
+    def expected(n: Int, step: Long, phase: Long): (Long, Int, Long) = {
+      val vs = (0 until n).map(i => ((phase + i * step) % 65536).toInt - 32768)
+      (vs.map(v => math.abs(v).toLong).sum, vs.map(math.abs).max,
+        vs.count(_ >= 0).toLong)
+    }
+    val stats = Multimodal.decodeAudioStats(wavs, "id", "wav")
+      .as[(Long, Int, Int, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (sa30, ma30, nn30) = expected(5, 1000L, 0L)
+    assert(stats(30L) == ((30L, 8000, 1, 5L, sa30, ma30, nn30)), stats(30L).toString)
+    val (sa31, ma31, nn31) = expected(3, 40000L, 30000L)
+    assert(stats(31L) == ((31L, 16000, 1, 3L, sa31, ma31, nn31)), stats(31L).toString)
+    // a non-audio payload fails LOUDLY, never returns garbage stats
+    val e = intercept[Exception] {
+      Multimodal.decodeAudioStats(blobs.filter(col("id") === 1L), "id", "media")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("undecodable")), msgs(e).mkString(" | "))
+  }
+
   test("stubbed multimodal embeddings feed the ANN operator end-to-end") {
     val emb = Multimodal.featurizeTable(blobs, "id", "media")
     val out = graft.sim.Ann.bruteForceTopK(
