@@ -77,6 +77,21 @@ object SparkEntry {
         pmod(col("event_id") * 97 + 13, lit(65536)).as("step"),
         pmod(col("event_id") * 31, lit(65536)).as("phase"))
 
+  /** Deterministic animated-GIF specs for the real multi-frame decode
+    * query: one 2–5-frame solid-tone clip per sampled event, dims / frame
+    * count / per-frame tones all pure functions of event_id (see
+    * [[graft.multimodal.Multimodal.gifTone]]) — so a SQL oracle recomputes
+    * every decoded frame sum from the parameters alone (indexed-color GIF
+    * is lossless).
+    */
+  private def gifSpecFrame(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .filter(pmod(col("event_id"), lit(17)) === 0)
+      .select(col("event_id").as("id"),
+        (pmod(col("event_id"), lit(7)) + 3).cast("int").as("w"),
+        (pmod(col("event_id"), lit(5)) + 2).cast("int").as("h"),
+        (pmod(col("event_id"), lit(4)) + 2).cast("int").as("n_frames"))
+
   // --- queries ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -793,6 +808,17 @@ object SparkEntry {
       multimodal.Multimodal.decodeAudioStats(
         multimodal.Multimodal.synthesizeSawtoothWav(sawtoothWavSpecFrame(s, dir)),
         "id", "wav")
+        .withColumnRenamed("id", "event_id")),
+    // REAL multi-frame media decode (animated GIF via javax.imageio —
+    // the closest the JDK gets to a video codec): synthesize one
+    // solid-tone animated clip per sampled event, then parse the actual
+    // container (frame count) and decode every frame's pixels. Indexed
+    // GIF is lossless, so DuckDB recomputes each frame's per-channel sums
+    // from the generating parameters alone.
+    "mm_gif_frames" -> ((s, dir) =>
+      multimodal.Multimodal.decodeGifFrames(
+        multimodal.Multimodal.synthesizeAnimatedGif(gifSpecFrame(s, dir)),
+        "id", "gif")
         .withColumnRenamed("id", "event_id")),
     // ----------------------------------------------------------- monitoring
     "stats_value" -> ((s, dir) =>
@@ -1886,6 +1912,24 @@ object SparkEntry {
         |  CAST(max(abs(v)) AS INT) AS max_abs,
         |  CAST(sum(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg
         |FROM samp GROUP BY 1, 2""".stripMargin),
+    // exact expected per-frame sums of the synthesized animated GIFs:
+    // frame f of clip id is the solid tone ((id+61f)%256, (id·7+13f)%256,
+    // (id·13+29f)%256) — indexed GIF is lossless, so each decoded channel
+    // sum equals w·h·tone
+    "mm_gif_frames" -> withTables(
+      """, spec AS (SELECT event_id,
+        |    CAST(event_id % 7 + 3 AS INT) AS w, CAST(event_id % 5 + 2 AS INT) AS h,
+        |    CAST(event_id % 4 + 2 AS INT) AS n_frames
+        |  FROM events WHERE event_id % 17 = 0),
+        |fr AS (SELECT unnest(range(0, 5)) AS f),
+        |px AS (SELECT s.event_id, CAST(f AS INT) AS frame_idx, s.w, s.h,
+        |    (s.event_id + 61*f) % 256 AS r, (s.event_id*7 + 13*f) % 256 AS g,
+        |    (s.event_id*13 + 29*f) % 256 AS b
+        |  FROM spec s JOIN fr ON f < s.n_frames)
+        |SELECT event_id, frame_idx, w AS width, h AS height,
+        |  CAST(w*h*r AS BIGINT) AS sum_r, CAST(w*h*g AS BIGINT) AS sum_g,
+        |  CAST(w*h*b AS BIGINT) AS sum_b
+        |FROM px""".stripMargin),
 
     "stats_value" -> withTables(
       """SELECT count(*) AS n_rows, count(value) AS n_nonnull,

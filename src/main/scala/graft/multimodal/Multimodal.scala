@@ -356,4 +356,118 @@ object Multimodal {
         }
       }(Encoders.product[AudioStats]).toDF()
       .withColumnRenamed("id", idCol)
+
+  // ------------------------------------------------------------ multi-frame
+  // Real JDK-only multi-frame media path: animated GIF via javax.imageio.
+  // This is the closest the JDK gets to a video codec — a timed frame
+  // sequence in one binary payload — so the frame-extraction operator
+  // ([[frameSample]]'s byte-window stub upgraded) runs a REAL container
+  // parse + per-frame pixel decode. GIF is lossless for ≤256-color frames,
+  // so solid-tone synthesized frames round-trip exactly.
+
+  case class GifSpec(id: Long, w: Int, h: Int, n_frames: Int)
+  case class GifBytes(id: Long, gif: Array[Byte])
+  case class GifFrame(id: Long, frame_idx: Int, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-frame solid tone of the synthesized GIF: frame f of clip id is
+    * rgb((id+61·f)%256, (id·7+13·f)%256, (id·13+29·f)%256). Shared by the
+    * encoder and any oracle recomputing the decoded sums.
+    */
+  def gifTone(id: Long, f: Int): (Int, Int, Int) =
+    (((id + 61L * f) % 256).toInt, ((id * 7 + 13L * f) % 256).toInt,
+      ((id * 13 + 29L * f) % 256).toInt)
+
+  /** Encode one real animated GIF per row from a [[GifSpec]]-shaped frame
+    * (columns id, w, h, n_frames): `n_frames` solid-tone frames written
+    * through `ImageWriter.writeToSequence`. Output (id, gif binary).
+    */
+  def synthesizeAnimatedGif(df: DataFrame): DataFrame =
+    df.select(col("id").cast("long"), col("w").cast("int"),
+        col("h").cast("int"), col("n_frames").cast("int"))
+      .as(Encoders.product[GifSpec])
+      .mapPartitions { rows =>
+        rows.map { s =>
+          require(s.w > 0 && s.h > 0 && s.n_frames > 0,
+            s"degenerate gif spec ${s.w}x${s.h}x${s.n_frames} for id ${s.id}")
+          val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+          require(writers.hasNext, "JDK GIF writer unavailable")
+          val writer = writers.next()
+          val baos = new java.io.ByteArrayOutputStream()
+          val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          try {
+            writer.setOutput(mos)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < s.n_frames) {
+              // indexed color with the exact tone in the palette: the GIF
+              // writer emits an IndexColorModel's table verbatim, whereas a
+              // TYPE_INT_RGB input could be re-quantized to a default
+              // palette and break the exact round trip
+              val (r, gch, b) = gifTone(s.id, f)
+              val icm = new java.awt.image.IndexColorModel(
+                1, 2, Array(r.toByte, 0.toByte), Array(gch.toByte, 0.toByte),
+                Array(b.toByte, 0.toByte))
+              val img = new java.awt.image.BufferedImage(
+                s.w, s.h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              // a fresh indexed raster is all zeros = palette entry 0 = tone
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); mos.close() }
+          GifBytes(s.id, baos.toByteArray)
+        }
+      }(Encoders.product[GifBytes]).toDF()
+
+  /** REAL multi-frame decode (javax.imageio GIF reader) → one row per
+    * decoded frame with its dimensions and exact per-channel pixel sums.
+    * The container parse (frame count) and every pixel value come from the
+    * actual bytes; for solid-tone synthesized clips an oracle recomputes
+    * each sum as w·h·channel from the generating parameters.
+    */
+  def decodeGifFrames(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+          require(readers.hasNext, "JDK GIF reader unavailable")
+          val reader = readers.next()
+          val mis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          // materialize before dispose: the flatMap iterator is lazy and
+          // would otherwise read from a disposed reader
+          val out =
+            try {
+              reader.setInput(mis, false)
+              val n =
+                try reader.getNumImages(true)
+                catch {
+                  case e: java.io.IOException => throw new IllegalArgumentException(
+                    s"undecodable gif payload for id $id", e)
+                }
+              require(n > 0, s"undecodable gif payload for id $id (no frames)")
+              (0 until n).map { f =>
+                val img = reader.read(f)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                GifFrame(id, f, img.getWidth, img.getHeight, sr, sg, sb)
+              }
+            } finally { reader.dispose(); mis.close() }
+          out.iterator
+        }
+      }(Encoders.product[GifFrame]).toDF()
+      .withColumnRenamed("id", idCol)
 }

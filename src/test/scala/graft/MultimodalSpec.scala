@@ -138,6 +138,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("undecodable")), msgs(e).mkString(" | "))
   }
 
+  test("REAL animated-GIF round trip: encode frame sequence, decode exact per-frame sums") {
+    val specs = Seq((40L, 3, 2, 3), (41L, 5, 4, 2))
+      .toDF("id", "w", "h", "n_frames")
+    val gifs = Multimodal.synthesizeAnimatedGif(specs)
+    // the payloads are REAL GIFs (magic "GIF8" = 0x47494638)
+    val magic = gifs.select(hex(substring(col("gif"), 1, 4))).as[String]
+      .collect().toSet
+    assert(magic == Set("47494638"), magic.toString)
+    val frames = Multimodal.decodeGifFrames(gifs, "id", "gif")
+      .as[(Long, Int, Int, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(frames.size == 5, "3 + 2 frames decoded")
+    for { (id, w, h, n) <- Seq((40L, 3, 2, 3), (41L, 5, 4, 2)); f <- 0 until n } {
+      val (r, g, b) = Multimodal.gifTone(id, f)
+      assert(frames((id, f)) ==
+        ((id, f, w, h, w.toLong * h * r, w.toLong * h * g, w.toLong * h * b)),
+        s"frame ($id, $f): ${frames((id, f))} expected tone ($r,$g,$b)")
+    }
+    // a non-gif payload fails LOUDLY, never returns garbage frames
+    val e = intercept[Exception] {
+      Multimodal.decodeGifFrames(blobs.filter(col("id") === 1L), "id", "media")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("undecodable")), msgs(e).mkString(" | "))
+  }
+
   test("stubbed multimodal embeddings feed the ANN operator end-to-end") {
     val emb = Multimodal.featurizeTable(blobs, "id", "media")
     val out = graft.sim.Ann.bruteForceTopK(
