@@ -923,12 +923,33 @@ object SparkEntry {
         .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
       val fingerprint = srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
         .sorted.mkString(",")
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${new java.io.File(dir).getAbsolutePath}|$fingerprint"
-          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_part_fixture_$digest/turns"
-      engine.Locks.withFileLock(s"$path.build") {
+      def md5(sIn: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val dirKey = md5(new java.io.File(dir).getAbsolutePath)
+      val fpKey = md5(fingerprint)
+      // per-user base dir (java.io.tmpdir is shared — another user's
+      // fixture would be unwritable) with the source key and fingerprint
+      // key SPLIT, so superseded fingerprints of the same source are
+      // recognizable and reclaimed instead of leaking a full ~90-day
+      // partitioned copy on every test-data regeneration
+      val user = Option(System.getProperty("user.name")).getOrElse("anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_part_fixture_$user")
+      base.mkdirs()
+      val path = new java.io.File(base, s"${dirKey}_$fpKey/turns").getAbsolutePath
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+        f.delete(); ()
+      }
+      // lock at SOURCE level (dirKey, not fingerprint) so stale-fixture
+      // cleanup and the rebuild are one critical section across drivers
+      engine.Locks.withFileLock(
+        new java.io.File(base, s"$dirKey.build").getAbsolutePath) {
+        Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith(s"${dirKey}_") &&
+            f.getName != s"${dirKey}_$fpKey")
+          .foreach(rmTree)
         if (!new java.io.File(s"$path/_SUCCESS").exists())
           Transcripts.fromEvents(s, dir)
             .withColumn("ds", date_format(col("ts"), "yyyy-MM-dd"))

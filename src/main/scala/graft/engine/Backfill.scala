@@ -82,7 +82,13 @@ object Backfill {
       .toIndexedSeq
     val pending = partitions.filterNot(p => isComplete(checkpointDir, p))
 
-    pending.take(maxPartitions).flatMap { p =>
+    // The budget counts partitions this driver actually RAN: the lazy
+    // iterator + trailing take means a partition skipped because another
+    // driver claimed (or already finished) it does not consume the
+    // caller's maxPartitions allowance — a pre-claim take would let two
+    // contending drivers split one window and both stop early with work
+    // still pending.
+    pending.iterator.flatMap { p =>
       // Cross-driver claim: two drivers resuming the same backfill both
       // compute `pending` from the same manifests — without a lock they'd
       // run (and CONCURRENTLY overwrite) the same partition output, which
@@ -121,7 +127,7 @@ object Backfill {
           PartitionResult(p, "complete", inputRows, outputRows, dur)
         }
       }.flatten // None = claimed by another driver OR completed meanwhile
-    }.toSeq
+    }.take(maxPartitions).toSeq
   }
 
   /** Read the backfilled output back (partition-discovering parquet read). */

@@ -216,21 +216,25 @@ object Historical {
     val normalized = views.map { v =>
       if (v.joinKeys == keyCols) v
       else {
-        // a positional rename landing on a name the view ALREADY has (a
-        // non-key feature named like the canonical key, or keys that are
-        // the canonical names in swapped order) would duplicate the column
-        // — withColumnRenamed renames every match, so the dup surfaces as
-        // an ambiguous-reference error rows later or, worse, misfiled key
-        // values; fail here with the actual collision instead
-        v.joinKeys.zip(keyCols).foreach { case (from, to) =>
-          require(from == to || !v.mappedSource.columns.contains(to),
+        // All key renames apply SIMULTANEOUSLY (one aliased select), so
+        // swapped or chained key names — target 'a' being another key the
+        // rename is moving away — are fine; a sequential fold would
+        // duplicate columns there. The only genuine collision is a target
+        // landing on a NON-key column the view already has (a feature
+        // named like the canonical key): that would silently duplicate it,
+        // so fail here naming the collision instead.
+        val fromKeys = v.joinKeys.toSet
+        val keyMap = v.joinKeys.zip(keyCols).toMap
+        keyMap.foreach { case (from, to) =>
+          require(from == to || fromKeys.contains(to) ||
+            !v.mappedSource.columns.contains(to),
             s"positional key mapping '$from' -> '$to' on view '${v.name}' " +
               s"collides with its existing column '$to'; rename that column " +
               "via fieldMapping first")
         }
-        val renamed = v.joinKeys.zip(keyCols).foldLeft(v.mappedSource) {
-          case (df, (from, to)) => df.withColumnRenamed(from, to)
-        }
+        val src = v.mappedSource
+        val renamed = src.select(src.columns.map(c =>
+          keyMap.get(c).map(t => col(c).as(t)).getOrElse(col(c))): _*)
         v.copy(source = renamed, joinKeys = keyCols, fieldMapping = Map.empty)
       }
     }

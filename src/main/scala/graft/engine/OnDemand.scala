@@ -157,6 +157,14 @@ object OnDemand {
       knownPrefixes: Option[Set[String]] = None
   ): DataFrame =
     odfvs.foldLeft((retrieved, knownPrefixes)) { case ((acc, kp), v) =>
-      (applyView(acc, v, fullFeatureNames, kp), kp.map(_ + v.name))
+      // The EMPTY prefix set is a marker — "this frame came from a prior
+      // retrieval, its prefixes are unknown, match permissively" (see
+      // applyView). Adding the applied ODFV's name to it would flip every
+      // LATER apply from permissive to restricted, so only a chain's first
+      // request-data-only ODFV could resolve prefixed columns. Keep the
+      // marker empty; the permissive suffix match already covers earlier
+      // ODFV outputs.
+      (applyView(acc, v, fullFeatureNames, kp),
+        kp.map(ps => if (ps.isEmpty) ps else ps + v.name))
     }._1
 }

@@ -105,16 +105,7 @@ object Multimodal {
       df: DataFrame, idCol: String, binCol: String,
       decoder: Array[Byte] => Array[Float]
   ): DataFrame = {
-    // the typed lane is keyed on a long id — a blind cast would NULL every
-    // string/UUID id and crash the non-nullable encoder downstream; fail
-    // fast with the actual type instead
-    locally {
-      import org.apache.spark.sql.types._
-      val t = df.schema(idCol).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
-        s"featurizeWithDecoder requires an integral $idCol (got $t); " +
-          "map string ids to a surrogate long first")
-    }
+    requireIntegralId(df, idCol, "featurizeWithDecoder")
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.product[Embedding])
     // same non-null contract as featurizeTable: a real codec NPEs on null
     val input = df.filter(col(binCol).isNotNull)
@@ -127,6 +118,18 @@ object Multimodal {
   }
 
   case class Embedding(values: Array[Float])
+
+  /** Every typed decode lane is keyed on a long id — a blind cast would
+    * NULL every string/UUID id and crash the non-nullable encoder deep
+    * inside the job; fail fast with the actual type instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$op requires an integral $idCol (got $t); " +
+        "map string ids to a surrogate long first")
+  }
 
   // ------------------------------------------------------------------ image
   // Real JDK-only image codec path (javax.imageio). No driver involvement:
@@ -183,13 +186,22 @@ object Multimodal {
     * synthesized image these are exactly recomputable from the generating
     * parameters.
     */
-  def decodeImageStats(df: DataFrame, idCol: String, binCol: String): DataFrame =
+  def decodeImageStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    requireIntegralId(df, idCol, "decodeImageStats")
     df.filter(col(binCol).isNotNull)
       .select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          // truncated-but-recognized payloads throw IOException rather
+          // than returning null — map both to the same loud id-bearing
+          // failure contract
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case e: java.io.IOException => throw new IllegalArgumentException(
+                s"undecodable image payload for id $id", e)
+            }
           require(img != null, s"undecodable image payload for id $id")
           var sr = 0L; var sg = 0L; var sb = 0L
           var y = 0
@@ -206,6 +218,7 @@ object Multimodal {
         }
       }(Encoders.product[ImgStats]).toDF()
       .withColumnRenamed("id", idCol)
+  }
 
   /** REAL decode → downsampled luma grid: the image is partitioned into a
     * gx×gy cell grid (cell (cx,cy) covers pixels with
@@ -220,12 +233,18 @@ object Multimodal {
   def decodeLumaGrid(df: DataFrame, idCol: String, binCol: String,
                      gx: Int, gy: Int): DataFrame = {
     require(gx > 0 && gy > 0, "grid dims must be positive")
+    requireIntegralId(df, idCol, "decodeLumaGrid")
     df.filter(col(binCol).isNotNull)
       .select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case e: java.io.IOException => throw new IllegalArgumentException(
+                s"undecodable image payload for id $id", e)
+            }
           require(img != null, s"undecodable image payload for id $id")
           val w = img.getWidth; val h = img.getHeight
           val sums = Array.ofDim[Long](gx * gy)
@@ -318,17 +337,22 @@ object Multimodal {
     * needs no float tolerance; PCM is lossless, so for a synthesized clip
     * these are exactly recomputable from the generating parameters.
     */
-  def decodeAudioStats(df: DataFrame, idCol: String, binCol: String): DataFrame =
+  def decodeAudioStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    requireIntegralId(df, idCol, "decodeAudioStats")
     df.filter(col(binCol).isNotNull)
       .select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
+          // a truncated payload with a valid RIFF prefix throws
+          // EOFException (an IOException, not UnsupportedAudioFile) from
+          // the header parse — both must keep the id-bearing contract
           val ais =
             try javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             catch {
-              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              case e @ (_: javax.sound.sampled.UnsupportedAudioFileException |
+                        _: java.io.IOException) =>
                 throw new IllegalArgumentException(
                   s"undecodable audio payload for id $id", e)
             }
@@ -356,6 +380,7 @@ object Multimodal {
         }
       }(Encoders.product[AudioStats]).toDF()
       .withColumnRenamed("id", idCol)
+  }
 
   // ------------------------------------------------------------ multi-frame
   // Real JDK-only multi-frame media path: animated GIF via javax.imageio.
@@ -427,7 +452,8 @@ object Multimodal {
     * actual bytes; for solid-tone synthesized clips an oracle recomputes
     * each sum as w·h·channel from the generating parameters.
     */
-  def decodeGifFrames(df: DataFrame, idCol: String, binCol: String): DataFrame =
+  def decodeGifFrames(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    requireIntegralId(df, idCol, "decodeGifFrames")
     df.filter(col(binCol).isNotNull)
       .select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
@@ -451,7 +477,14 @@ object Multimodal {
                 }
               require(n > 0, s"undecodable gif payload for id $id (no frames)")
               (0 until n).map { f =>
-                val img = reader.read(f)
+                // frame data can be truncated even when the container
+                // parse succeeded — keep the id-bearing failure contract
+                val img =
+                  try reader.read(f)
+                  catch {
+                    case e: java.io.IOException => throw new IllegalArgumentException(
+                      s"undecodable gif payload for id $id (frame $f)", e)
+                  }
                 var sr = 0L; var sg = 0L; var sb = 0L
                 var y = 0
                 while (y < img.getHeight) {
@@ -470,4 +503,5 @@ object Multimodal {
         }
       }(Encoders.product[GifFrame]).toDF()
       .withColumnRenamed("id", idCol)
+  }
 }

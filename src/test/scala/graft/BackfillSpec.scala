@@ -84,6 +84,30 @@ class BackfillSpec extends SparkTestBase {
     assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("maxPartitions budget counts RUN partitions, not ones another driver holds") {
+    val ckpt = s"$tmp/ckpt_budget"; val out = s"$tmp/out_budget"
+    val first = source.select(col("ds").cast("string")).distinct().orderBy("ds")
+      .collect().map(_.getString(0)).head
+    // a contending driver holds the first pending partition's claim for
+    // the whole run
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.engine.Locks.withFileLock(s"$ckpt/$first.json") {
+        started.countDown(); release.await()
+      })
+    holder.start(); started.await()
+    try {
+      // budget 1 must complete ONE partition — spending the budget on the
+      // held partition (pre-fix pending.take) would return empty with
+      // work still pending
+      val r = Backfill.run(spark, source, "ds", out, ckpt, job,
+        lookbackPartitions = 1, maxPartitions = 1)
+      assert(r.length == 1, r.toString)
+      assert(r.head.partition != first, r.toString)
+    } finally { release.countDown(); holder.join() }
+  }
+
   test("manifest carries lineage and metrics") {
     // runs after the previous test (same ckpt dir) — read one manifest
     val parts = Backfill.completedPartitions(s"$tmp/ckpt")

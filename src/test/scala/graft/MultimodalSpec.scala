@@ -166,6 +166,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("undecodable")), msgs(e).mkString(" | "))
   }
 
+  test("decode lanes reject non-integral id columns fast, not deep in the job") {
+    // a blind long cast would NULL a string id and crash the non-nullable
+    // encoder mid-job; the guard must fire at plan time with the type
+    val strIds = Seq(("k1", png)).toDF("id", "media")
+    def rejects(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("integral"), e.getMessage)
+    }
+    rejects(Multimodal.decodeImageStats(strIds, "id", "media"))
+    rejects(Multimodal.decodeLumaGrid(strIds, "id", "media", 2, 2))
+    rejects(Multimodal.decodeAudioStats(strIds, "id", "media"))
+    rejects(Multimodal.decodeGifFrames(strIds, "id", "media"))
+  }
+
+  test("truncated payloads with valid magic still fail with the row id") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // valid RIFF prefix cut mid-header: the parse throws EOFException (an
+    // IOException, not UnsupportedAudioFile) — the id-bearing loud-failure
+    // contract must hold on that path too
+    val wav = Multimodal.synthesizeSawtoothWav(
+      Seq((50L, 8000, 4, 7L, 0L))
+        .toDF("id", "sample_rate", "n_samples", "step", "phase"))
+      .select(col("id"), expr("substring(wav, 1, 16)").as("wav"))
+    val e = intercept[Exception] {
+      Multimodal.decodeAudioStats(wav, "id", "wav").collect()
+    }
+    assert(msgs(e).exists(_.contains("undecodable audio payload for id 50")),
+      msgs(e).mkString(" | "))
+    // same for a GIF whose container starts valid but is cut short
+    val gif = Multimodal.synthesizeAnimatedGif(
+      Seq((51L, 3, 2, 2)).toDF("id", "w", "h", "n_frames"))
+      .select(col("id"), expr("substring(gif, 1, 24)").as("gif"))
+    val e2 = intercept[Exception] {
+      Multimodal.decodeGifFrames(gif, "id", "gif").collect()
+    }
+    assert(msgs(e2).exists(_.contains("undecodable gif payload for id 51")),
+      msgs(e2).mkString(" | "))
+  }
+
   test("stubbed multimodal embeddings feed the ANN operator end-to-end") {
     val emb = Multimodal.featurizeTable(blobs, "id", "media")
     val out = graft.sim.Ann.bruteForceTopK(

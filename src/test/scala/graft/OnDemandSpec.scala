@@ -102,6 +102,29 @@ class OnDemandSpec extends SparkTestBase {
       col("turn_stats__turn_idx") * 2).isEmpty)
   }
 
+  test("the permissive empty-prefix marker survives a CHAIN of ODFVs") {
+    // Both ODFVs read the prior retrieval's prefixed column by bare name.
+    // Accumulating the first ODFV's name into the EMPTY marker set would
+    // flip the second apply from permissive to restricted and reject a
+    // previously-valid shape — order-dependently.
+    val prior = Historical.getHistoricalFeatures(entity, Seq(view),
+      fullFeatureNames = true)
+    val o1 = OnDemandView("boost1",
+      inputs = Seq("turn_idx"), outputs = Seq("idx2"),
+      transform = df => df.withColumn("idx2", col("turn_idx") * 2))
+    val o2 = OnDemandView("boost2",
+      inputs = Seq("turn_idx"), outputs = Seq("idx3"),
+      transform = df => df.withColumn("idx3", col("turn_idx") * 3))
+    for (chain <- Seq(Seq(o1, o2), Seq(o2, o1))) {
+      val out = OnDemand.applyAll(prior, chain,
+        fullFeatureNames = true, knownPrefixes = Some(Set.empty))
+      assert(out.filter(col("boost1__idx2") =!=
+        col("turn_stats__turn_idx") * 2).isEmpty, chain.map(_.name).toString)
+      assert(out.filter(col("boost2__idx3") =!=
+        col("turn_stats__turn_idx") * 3).isEmpty, chain.map(_.name).toString)
+    }
+  }
+
   test("missing request data fails BEFORE retrieval runs") {
     val odfv = OnDemandView("boost",
       inputs = Seq("turn_idx"), requestCols = Seq("req_mult"),

@@ -118,4 +118,37 @@ class ServiceSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("collides"), e2.getMessage)
   }
+
+  test("positionalKeys renames apply simultaneously: chained and swapped key names work") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    // canonical keys (grp, usr); the second view's keys are (usr, sess) —
+    // the mapping usr->grp, sess->usr CHAINS through a name the first
+    // rename is moving away; a sequential fold (or a collision check
+    // against the original columns) falsely rejects or duplicates it
+    val a = Seq(("g1", "u1", t0, 1L)).toDF("grp", "usr", "ts", "v")
+    val b = Seq(("g1", "u1", t0, 2L)).toDF("usr", "sess", "ts", "w")
+    val va = FeatureView("va", a, Seq("grp", "usr"), "ts", None, 0L,
+      features = Seq("v"), tieBreakCols = Seq("v"))
+    val vb = FeatureView("vb", b, Seq("usr", "sess"), "ts", None, 0L,
+      features = Seq("w"), tieBreakCols = Seq("w"))
+    val out = graft.engine.Historical.nonEntityRetrieval(Seq(va, vb),
+      Timestamp.valueOf("2026-01-02 00:00:00"), positionalKeys = true)
+      .select("grp", "usr", "v", "w").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getAs[Any](2)), Option(r.getAs[Any](3)))).toSet
+    assert(out == Set(("g1", "u1", Some(1L), Some(2L))), out.toString)
+    // fully SWAPPED key NAMES: the view's `usr` column positionally holds
+    // canonical-grp values and its `grp` column canonical-usr values —
+    // the simultaneous rename swaps them with no duplicate columns
+    val c = Seq(("g1", "u1", t0, 3L)).toDF("usr", "grp", "ts", "z")
+    val vc = FeatureView("vc", c, Seq("usr", "grp"), "ts", None, 0L,
+      features = Seq("z"), tieBreakCols = Seq("z"))
+    val out2 = graft.engine.Historical.nonEntityRetrieval(Seq(va, vc),
+      Timestamp.valueOf("2026-01-02 00:00:00"), positionalKeys = true)
+      .select("grp", "usr", "v", "z").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getAs[Any](2)), Option(r.getAs[Any](3)))).toSet
+    assert(out2 == Set(("g1", "u1", Some(1L), Some(3L))), out2.toString)
+  }
 }
