@@ -776,6 +776,16 @@ object SparkEntry {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "doc_id", "media")
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("lane", "val")))),
+    // Frame sampling over video-like payloads: n evenly spaced byte windows
+    // per blob (the keyframe-extraction shape). Pure byte arithmetic, so
+    // DuckDB recomputes every window from hex(payload) — frames compare as
+    // hex strings because the harness (and DuckDB) lack blob substring.
+    "mm_frame_sample" -> ((s, dir) =>
+      multimodal.Multimodal.frameSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", n = 4, frameBytes = 16)
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))),
 
     // REAL image decode (javax.imageio, JDK-only — no external codec):
     // synthesize one two-tone PNG per sampled event (executor-side encode),
@@ -1880,6 +1890,17 @@ object SparkEntry {
         |  +(strpos('0123456789abcdef', substr(hh, s*4+4, 1))-1) AS q FROM h)
         |SELECT doc_id, CAST(lane AS INT) AS lane,
         |  CAST(q/32768.0 - 1.0 AS FLOAT) AS val FROM v""".stripMargin),
+    // recomputes every sampled byte window from hex(payload): byte offset
+    // i·max(len−16,0)/(n−1) (floor division, same as the engine's long
+    // truncation on non-negatives) → hex position (off−1)·2+1, 32 hex chars
+    "mm_frame_sample" -> withTables(
+      """, base AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents WHERE text IS NOT NULL),
+        |fr AS (SELECT unnest(range(0, 4)) AS i)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  substr(hx, (i * greatest(len - 16, 0) // 3) * 2 + 1, 32) AS frame_hex
+        |FROM base CROSS JOIN fr""".stripMargin),
     // exact expected pixel stats of the synthesized two-tone w×h PNG:
     // left floor(w/2) columns are color 1, the rest color 2; PNG is
     // lossless so the decoded sums equal the arithmetic ones

@@ -32,12 +32,17 @@ object Multimodal {
   def extractMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val b = col(binCol)
     val magic = hex(substring(b, 1, 4))
+    // RIFF is a container family (WAV, AVI, WebP…): the payload type lives
+    // at bytes 9-12, so a bare "RIFF" prefix must not be labeled audio
+    val riffType = hex(substring(b, 9, 4))
     df.select(
       col(idCol),
       octet_length(b).as("n_bytes"),
       when(magic.startsWith("FFD8"), "jpeg")
         .when(magic.startsWith("89504E47"), "png")
-        .when(magic.startsWith("52494646"), "riff-wav")
+        .when(magic.startsWith("47494638"), "gif")
+        .when(magic.startsWith("52494646") && riffType === lit("57415645"), "riff-wav")
+        .when(magic.startsWith("52494646"), "riff")
         .otherwise("unknown").as("format"))
   }
 

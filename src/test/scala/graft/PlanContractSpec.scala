@@ -52,6 +52,16 @@ class PlanContractSpec extends SparkTestBase {
         df.queryExecution.executedPlan)
   }
 
+  test("multimodal meta sniff and frame sampling are zero-shuffle narrow maps") {
+    val blobs = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    for ((name, df) <- Seq(
+        "extractMeta" -> multimodal.Multimodal.extractMeta(blobs, "doc_id", "media"),
+        "frameSample" -> multimodal.Multimodal.frameSample(
+          blobs, "doc_id", "media", n = 4, frameBytes = 16)))
+      assert(shuffles(df) == 0, s"$name grew a shuffle:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("hash split and sample are zero-shuffle") {
     assert(shuffles(sample.Sampling.hashSplit(docs, "doc_id",
       Seq("train" -> 0.9, "valid" -> 0.1))) == 0)
