@@ -233,7 +233,7 @@ object Historical {
               "via fieldMapping first")
         }
         val src = v.mappedSource
-        val renamed = src.select(src.columns.map(c =>
+        val renamed = src.select(src.columns.toIndexedSeq.map(c =>
           keyMap.get(c).map(t => col(c).as(t)).getOrElse(col(c))): _*)
         v.copy(source = renamed, joinKeys = keyCols, fieldMapping = Map.empty)
       }
