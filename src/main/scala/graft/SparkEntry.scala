@@ -419,6 +419,51 @@ object SparkEntry {
         Transcripts.fromEvents(s, dir), Seq("conv_id"), "ts",
         Seq("turn_idx"), java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
         .withColumn("created_ts", col("created_ts").cast("timestamp_ntz"))),
+    // ST3 watermark semantics, oracle-checked END-TO-END: a REAL Structured
+    // Streaming run (MemoryStream → withWatermark → tumbling window →
+    // append-mode memory sink), not a batch stand-in. Event times are pure
+    // functions of event_id: on-time rows (id % 4 != 0) land ten days after
+    // `base`, late rows (id % 4 == 0) land at `base` itself — eight-plus
+    // days below the watermark the first batch establishes — and a flush
+    // row then advances the watermark past every real window. The sink
+    // therefore holds exactly the on-time windows, finalized once each;
+    // DuckDB recomputes them from the same arithmetic, so a regression in
+    // late-row dropping or exactly-once window finalization is a hash
+    // mismatch, not a spec-only fact. (The driver feed is a collect by
+    // necessity — MemoryStream is driver-fed; the windowed aggregation
+    // itself runs distributed.)
+    "stream_watermark_agg" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val base = 1767225600L // 2026-01-01 00:00:00 UTC, epoch seconds
+      val spec = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long").as("id"),
+          pmod(col("event_id").cast("long"), lit(23L)).as("k"),
+          pmod(col("event_id").cast("long") * 7L, lit(86400L)).as("offs"))
+        .as[(Long, Long, Long)].collect()
+      val onTime = spec.collect { case (id, k, o) if id % 4 != 0 =>
+        (id, k, base + 864000L + o) }.toSeq
+      val late = spec.collect { case (id, k, o) if id % 4 == 0 =>
+        (id, k, base + o) }.toSeq
+      val flush = (-1L, -1L, base + 20L * 86400L)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val name = "wm_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streaming.StreamIngest.windowedAgg(
+        mem.toDF().toDF("id", "k", "ts_sec")
+          .withColumn("ts", timestamp_seconds(col("ts_sec"))),
+        Seq("k"), "ts", windowSec = 600L, watermarkSec = 3600L,
+        aggs = Seq(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_ids")))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(onTime); q.processAllAvailable()
+        mem.addData(late :+ flush); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(col("k"),
+        col("win_start").cast("long").as("win_start_sec"),
+        col("n_rows"), col("sum_ids"))
+    }),
     // S6 + P11 offline append sink, oracle-checked as a write/read-back
     // round trip: schema-aligned append (int->bigint cast, struct->JSON
     // string) to a fresh dir, then read back (spark.py:357-407 cast helper
@@ -1475,6 +1520,18 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, role, text, tool, ts,
          |  TIMESTAMP '2026-02-01 00:00:00' AS created_ts
          |FROM r WHERE rn = 1""".stripMargin),
+    // the surviving (on-time) windows of the watermark run: rows with
+    // event_id % 4 = 0 were fed to the stream 8+ days below the watermark
+    // and must NOT appear; window starts floor to the 600 s grid anchored
+    // at base+10d = 1768089600 (itself divisible by 600)
+    "stream_watermark_agg" -> withTables(
+      """SELECT CAST(event_id % 23 AS BIGINT) AS k,
+        |  CAST(1768089600 + (event_id * 7) % 86400 // 600 * 600 AS BIGINT)
+        |    AS win_start_sec,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events WHERE event_id % 4 <> 0
+        |GROUP BY 1, 2""".stripMargin),
     "sink_roundtrip" -> withTables(
       s"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
          |  to_json(struct_pack(turn_idx := turn_idx, role := role)) AS meta, ts

@@ -112,6 +112,32 @@ class StreamIngestSpec extends SparkTestBase {
       "streamed windows must equal batch tumbling agg")
   }
 
+  test("rows below the watermark are dropped; on-time windows finalize once") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val agged = StreamIngest.windowedAgg(
+      mem.toDF().toDF("k", "ts", "v"), Seq("k"), "ts",
+      windowSec = 600L, watermarkSec = 3600L,
+      aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+    val q = agged.writeStream.format("memory").queryName("wm_drop")
+      .outputMode("append").start()
+    // batch 1: two on-time rows in one window
+    mem.addData(Seq(("a", ts("2026-01-11 00:00:10"), 1L),
+      ("a", ts("2026-01-11 00:05:00"), 2L)))
+    q.processAllAvailable()
+    // batch 2: a LATE row for the same key ten days below the watermark
+    // (must be dropped, NOT merged into a's window) plus a flush row that
+    // advances the watermark past every real window
+    mem.addData(Seq(("a", ts("2026-01-01 00:00:10"), 100L),
+      ("zz_flush", ts("2026-01-31 00:00:00"), 0L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_drop").filter(col("k") === "a")
+      .select("n", "s").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((2L, 3L)),
+      s"late row must be dropped and the window emitted exactly once: $rows")
+  }
+
   test("dedup-within-watermark emits each key once inside the horizon") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
