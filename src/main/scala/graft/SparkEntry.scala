@@ -464,6 +464,48 @@ object SparkEntry {
         col("win_start").cast("long").as("win_start_sec"),
         col("n_rows"), col("sum_ids"))
     }),
+    // ST3 second half — SESSION windows, oracle-checked END-TO-END: a real
+    // MemoryStream run through sessionAgg where each conversation's turns
+    // are split across TWO micro-batches (even turn_idx first, odd turns
+    // second), so partial sessions MUST MERGE in the state store for the
+    // result to match; the watermark delay exceeds the corpus time span
+    // (nothing is droppable — this query isolates merge semantics; the
+    // late-drop side is stream_watermark_agg's job), and a flush row then
+    // closes every session. DuckDB recomputes the sessions from scratch
+    // with the gap rule (delta > gap starts a new session; the exact-gap
+    // boundary merges — pinned by spec), so a state-merge or
+    // session-boundary regression is a hash mismatch.
+    "stream_session_agg" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val t = Transcripts.fromEvents(s, dir)
+        .select(col("conv_id"), col("ts").cast("timestamp").as("ts"),
+          col("turn_idx"))
+        .as[(String, java.sql.Timestamp, Int)].collect()
+      val span = t.map(_._2.getTime)
+      val delaySec = math.max((span.max - span.min) / 1000 + 3600, 7200L)
+      val flushTs = new java.sql.Timestamp(span.max + (delaySec + 7200) * 1000)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp)]
+      val name = "sess_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streaming.StreamIngest.sessionAgg(
+        mem.toDF().toDF("conv_id", "ts"), Seq("conv_id"), "ts",
+        gapSec = 1800L, watermarkSec = delaySec)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(t.collect { case (c, ts, i) if i % 2 == 0 => (c, ts) }.toSeq)
+        q.processAllAvailable()
+        mem.addData(t.collect { case (c, ts, i) if i % 2 != 0 => (c, ts) }.toSeq
+          :+ (("__flush", flushTs)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("conv_id") =!= "__flush")
+        .select(col("conv_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("n_turns"),
+          col("last_ts").cast("timestamp_ntz").as("last_ts"))
+    }),
     // S6 + P11 offline append sink, oracle-checked as a write/read-back
     // round trip: schema-aligned append (int->bigint cast, struct->JSON
     // string) to a fresh dir, then read back (spark.py:357-407 cast helper
@@ -1532,6 +1574,25 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events WHERE event_id % 4 <> 0
         |GROUP BY 1, 2""".stripMargin),
+    // sessions recomputed from scratch: delta > gap starts a new session —
+    // an event at EXACTLY previous-ts + gap still merges (end-inclusive;
+    // StreamIngestSpec pins both boundary sides, and this matches the
+    // batch feat_sessionize oracle's rule) — then one row per
+    // (conv, session) with start/count/last
+    "stream_session_agg" -> withTables(
+      """, flagged AS (
+        |  SELECT conv_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nf
+        |  FROM transcript WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT conv_id, ts,
+        |    sum(nf) OVER (PARTITION BY conv_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT conv_id, min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_turns, max(ts) AS last_ts
+        |FROM sess GROUP BY conv_id, sid""".stripMargin),
     "sink_roundtrip" -> withTables(
       s"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
          |  to_json(struct_pack(turn_idx := turn_idx, role := role)) AS meta, ts

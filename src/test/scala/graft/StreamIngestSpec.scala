@@ -138,6 +138,43 @@ class StreamIngestSpec extends SparkTestBase {
       s"late row must be dropped and the window emitted exactly once: $rows")
   }
 
+  test("session windows: exact-gap merges, gap+1 splits; " +
+      "partial sessions merge across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val sess = StreamIngest.sessionAgg(
+      mem.toDF().toDF("conv_id", "ts"), Seq("conv_id"), "ts",
+      // delay larger than the fixture's 30-min span (so no row can be
+      // dropped as late) but far smaller than the flush row's advance
+      // (so the flush really closes every session)
+      gapSec = 600L, watermarkSec = 24L * 3600)
+    val q = sess.writeStream.format("memory").queryName("sess_gap")
+      .outputMode("append").start()
+    // conv a, pinning BOTH boundary sides (measured semantics: an event at
+    // EXACTLY previous-ts + gap still MERGES — session_window's interval
+    // is end-INCLUSIVE for the merge test — and gap+1 splits):
+    //   00:00:00, 00:09:59 (delta 599 → merge), 00:19:59 (delta exactly
+    //   600 → still merges), 00:30:00 (delta 601 → NEW session).
+    // Batch 1 carries 00:00:00 and 00:19:59 — 1199 s apart, two DISJOINT
+    // state entries — and only batch 2's 00:09:59 bridges them, so the
+    // first session reaches its final extent by STATE MERGE alone.
+    mem.addData(Seq(("a", ts("2026-01-11 00:00:00")),
+      ("a", ts("2026-01-11 00:19:59"))))
+    q.processAllAvailable()
+    mem.addData(Seq(("a", ts("2026-01-11 00:09:59")),
+      ("a", ts("2026-01-11 00:30:00")),
+      ("zz_flush", ts("2027-06-01 00:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_gap").filter(col("conv_id") === "a")
+      .select("session_start", "n_turns")
+      .as[(Timestamp, Long)].collect().toSeq.sortBy(_._1.getTime)
+    assert(rows == Seq(
+      (ts("2026-01-11 00:00:00"), 3L),
+      (ts("2026-01-11 00:30:00"), 1L)),
+      s"gap must merge inclusively, gap+1 must split, batches must merge: $rows")
+  }
+
   test("dedup-within-watermark emits each key once inside the horizon") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
